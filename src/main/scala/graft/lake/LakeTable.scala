@@ -1,0 +1,219 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import graft.model.TableSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** One registered data file. `bucket` is the hash-bucket of the merge key's
+  * bucket columns — merge rewrites only buckets containing touched keys
+  * (manifest-level pruning, the lake analog of the reference's partition
+  * routing, `streamer/map.go:143-158`). */
+final case class DataFile(path: String, bucket: Int, bytes: Long, schemaId: Int)
+
+/** Per-source lineage entry: which LSN range of which source partition (sid)
+  * was applied by which batch into which snapshot (north-rule lineage). */
+final case class LineageEntry(sid: String, minLsn: Long, maxLsn: Long,
+                              batchId: Long, snapshotVersion: Long)
+
+/** Immutable snapshot manifest. `schemas` maps schemaId -> StructType JSON,
+  * so files written before a schema evolution stay readable and are aligned
+  * (missing columns -> null, narrower types -> cast) at scan time. */
+final case class Snapshot(
+    version: Long,
+    currentSchemaId: Int,
+    schemas: Map[String, String], // schemaId -> StructType.json
+    files: Seq[DataFile],
+    properties: Map[String, String], // commit-epoch, lsn-high-watermark, ...
+    lineage: Seq[LineageEntry],
+    keyCols: Seq[String],
+    bucketCols: Seq[String],
+    numBuckets: Int,
+    hasSid: Boolean,
+    timestampMs: Long) {
+  def schema: StructType =
+    DataType.fromJson(schemas(currentSchemaId.toString)).asInstanceOf[StructType]
+}
+
+/** Minimal snapshot-based lake table ("icelite") on Parquet: data files +
+  * JSON manifests + atomic commit via rename. Replaces the reference's
+  * Postgres destination + `ON CONFLICT` machinery (`streamer/metadata.go:
+  * 163-220`) with an Iceberg-style table: snapshot isolation, schema
+  * evolution, snapshot properties carrying the commit epoch and LSN
+  * high-watermark (exactly-once), per-source lineage, and time travel.
+  *
+  * Layout:  <root>/_meta/v%020d.json   (manifests; reader takes max)
+  *          <root>/data/<uuid>.parquet (immutable data files)
+  *
+  * Single-writer-per-table by design (the reference likewise has one
+  * apply pipeline per destination); the version-file create is
+  * fail-if-exists so a concurrent second writer aborts rather than
+  * clobbering.
+  */
+final class LakeTable private (val spark: SparkSession, val root: String) {
+
+  import LakeTable._
+
+  private val metaDir = Paths.get(root, "_meta")
+  private val dataDir = Paths.get(root, "data")
+
+  def currentVersion: Long = listVersions.lastOption.getOrElse(
+    throw new IllegalStateException(s"no snapshots under $root"))
+
+  private def listVersions: Seq[Long] =
+    if (!Files.isDirectory(metaDir)) Nil
+    else Files.list(metaDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case VersionFile(v) => v.toLong }
+      .toSeq.sorted
+
+  def snapshot(version: Long = -1L): Snapshot = {
+    val v = if (version < 0) currentVersion else version
+    mapper.readValue(Files.readAllBytes(metaDir.resolve(f"v$v%020d.json")),
+      classOf[Snapshot])
+  }
+
+  def schema: StructType = snapshot().schema
+
+  def spec(name: String = "table"): TableSpec = {
+    val s = snapshot()
+    TableSpec(name, s.schema, s.keyCols, s.bucketCols, s.numBuckets, s.hasSid)
+  }
+
+  /** Bucket id expression over typed bucket columns. Both the target rows
+    * and the (string-typed, cast-first) batch keys hash identically because
+    * xxhash64 operates on the cast value. */
+  def bucketExpr(colFor: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = snapshot()
+    pmod(xxhash64(s.bucketCols.map(colFor): _*), lit(s.numBuckets))
+  }
+
+  /** Read the current (or a past) snapshot, aligned to its schema.
+    * Files are grouped by the schema they were written with; each group is
+    * scanned with its exact stored schema and projected/cast to the
+    * snapshot schema (add-column -> null, widen int->long -> cast). */
+  def read(version: Long = -1L, buckets: Option[Set[Int]] = None): DataFrame = {
+    val s = snapshot(version)
+    val want = buckets.getOrElse(null)
+    val files = s.files.filter(f => want == null || want.contains(f.bucket))
+    val cur = s.schema
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur)
+    } else {
+      files.groupBy(_.schemaId).map { case (sid, group) =>
+        val stored = DataType.fromJson(s.schemas(sid.toString)).asInstanceOf[StructType]
+        val df = spark.read.schema(stored).parquet(group.map(_.path): _*)
+        df.select(cur.fields.map { f =>
+          if (stored.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }.reduce(_ unionAll _)
+    }
+  }
+
+  /** Write `df` (which must carry an integer `__bucket` column) into new
+    * immutable data files, one directory-partition per bucket, and return
+    * the DataFile entries (not yet committed). */
+  def writeDataFiles(df: DataFrame, schemaId: Int): Seq[DataFile] = {
+    val tmp = dataDir.resolve(s"tmp-${UUID.randomUUID()}")
+    df.write.partitionBy("__bucket").parquet(tmp.toString)
+    val out = scala.collection.mutable.ArrayBuffer[DataFile]()
+    Files.list(tmp).iterator.asScala
+      .filter(p => p.getFileName.toString.startsWith("__bucket="))
+      .foreach { bdir =>
+        val bucket = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
+        Files.list(bdir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            val dest = dataDir.resolve(s"b$bucket-${UUID.randomUUID()}.parquet")
+            Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
+            out += DataFile(dest.toString, bucket, Files.size(dest), schemaId)
+          }
+      }
+    deleteRecursively(tmp)
+    out.toSeq
+  }
+
+  /** Atomic commit: next manifest version via fail-if-exists rename.
+    * `removePaths` files stay on disk (time travel reads them); a vacuum
+    * would reclaim them (not needed in this sandbox). */
+  def commit(addFiles: Seq[DataFile], removePaths: Set[String],
+             newSchema: Option[StructType] = None,
+             properties: Map[String, String] = Map.empty,
+             lineage: Seq[LineageEntry] = Nil): Snapshot = {
+    val cur = snapshot()
+    val (schemas2, schemaId2) = newSchema match {
+      case Some(sch) if sch.json != cur.schemas(cur.currentSchemaId.toString) =>
+        val id = cur.schemas.keys.map(_.toInt).max + 1
+        (cur.schemas + (id.toString -> sch.json), id)
+      case _ => (cur.schemas, cur.currentSchemaId)
+    }
+    val next = cur.copy(
+      version = cur.version + 1,
+      currentSchemaId = schemaId2,
+      schemas = schemas2,
+      files = cur.files.filterNot(f => removePaths.contains(f.path)) ++ addFiles,
+      properties = cur.properties ++ properties,
+      lineage = cur.lineage ++ lineage.map(_.copy(snapshotVersion = cur.version + 1)),
+      timestampMs = System.currentTimeMillis())
+    writeManifest(next)
+    next
+  }
+
+  private def writeManifest(s: Snapshot): Unit = {
+    Files.createDirectories(metaDir)
+    val target = metaDir.resolve(f"v${s.version}%020d.json")
+    if (Files.exists(target))
+      throw new IllegalStateException(s"concurrent commit: $target exists")
+    val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(s))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object LakeTable {
+  private val VersionFile = "v(\\d{20})\\.json".r
+  private[lake] val mapper: ObjectMapper =
+    new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def create(spark: SparkSession, root: String, spec: TableSpec,
+             properties: Map[String, String] = Map.empty): LakeTable = {
+    val t = new LakeTable(spark, root)
+    Files.createDirectories(Paths.get(root, "_meta"))
+    Files.createDirectories(Paths.get(root, "data"))
+    t.writeManifest(Snapshot(
+      version = 1L, currentSchemaId = 0,
+      schemas = Map("0" -> spec.schema.json),
+      files = Nil,
+      properties = Map("commit-epoch" -> "-1", "lsn-high-watermark" -> "-1") ++ properties,
+      lineage = Nil,
+      keyCols = spec.keyCols, bucketCols = spec.bucketCols,
+      numBuckets = spec.numBuckets, hasSid = spec.hasSid,
+      timestampMs = System.currentTimeMillis()))
+    t
+  }
+
+  def load(spark: SparkSession, root: String): LakeTable = {
+    val t = new LakeTable(spark, root)
+    t.currentVersion // fail fast if absent
+    t
+  }
+
+  def exists(root: String): Boolean = {
+    val meta = Paths.get(root, "_meta")
+    Files.isDirectory(meta) && Files.list(meta).iterator.asScala.exists(
+      p => VersionFile.pattern.matcher(p.getFileName.toString).matches())
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.lake.{LakeTable, LineageEntry}
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch CDC replay: one micro-batch of change events merged into a lake
+  * table. This is the Spark re-expression of the reference's hot path
+  * (`streamer/process_message.go` -> `streamer/worker.go` ->
+  * `streamer/process_clone.go`), restructured from row-at-a-time ordered
+  * apply into a set-oriented plan:
+  *
+  *   mode filter (W4) -> row filter / column transform (P1, P2; the CEL
+  *   analog as Catalyst `expr`) -> key extraction + PK-update normalization
+  *   (R2) -> salted local fold + per-key compose (Xf algebra; replaces the
+  *   per-table single-worker ordering, `streamer/worker.go:106-108`) ->
+  *   bucket-pruned merge join against the lake table (W1-W3) -> atomic
+  *   snapshot commit carrying epoch + LSN watermark + lineage (A1).
+  *
+  * The per-key Xf transformer is bit-equivalent to the reference's
+  * sequential apply (see XfSpec), so last-write-wins convergence holds
+  * under any partitioning; hot conversations are tamed by the
+  * lsn-range-salted two-phase reduce.
+  */
+object Replay {
+
+  /** A normalized, keyed DML op: `ord` = (lsn, seq, sub) packed so that the
+    * delete half of a PK-update (sub 0) sorts before its insert half
+    * (sub 1) at identical (lsn, seq). */
+  final case class KeyedOp(key: Seq[String], lsn: Long, ord: Long,
+                           op: String, after: Map[String, String])
+
+  final case class KeyXf(key: Seq[String], maxLsn: Long,
+                         absentExists: Boolean, onAbsent: Map[String, String],
+                         presentKind: Int, onPresent: Map[String, String])
+
+  @inline private def packOrd(lsn: Long, seq: Int, sub: Int): Long =
+    (lsn << 20) | (seq.toLong << 1) | sub.toLong // seq < 2^19, sub in {0,1}
+
+  // ---------------------------------------------------------------------
+  // P1/P2: row filter & column transform over the decoded row env
+  // ---------------------------------------------------------------------
+
+  /** Decode the event's value map to typed columns of `schema` so that
+    * filter/set expressions can reference plain column names — the analog
+    * of the reference's CEL env (`streamer/process_message.go:82-114`).
+    * For deletes the env is the old tuple (`process_message.go:354`). */
+  private def envCol(schema: StructType): Column = {
+    val src = when(col("op") === "D", col("before")).otherwise(col("after"))
+    struct(schema.fields.map(f =>
+      element_at(src, f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // R2: key extraction + PK-update normalization
+  // ---------------------------------------------------------------------
+
+  /** Normalize one event into keyed DML ops. PK-updates (old_kind "K",
+    * `streamer/process_clone.go:48-77`) become delete(oldKey) +
+    * insert(newKey) with sub-ordering preserved; replica-identity-full
+    * (old_kind "O") takes the whole old row as the key. NOTE (documented
+    * divergence): the reference's `UPDATE ... WHERE oldkey` is a no-op when
+    * the old row is absent, while delete+insert creates the new row; on a
+    * complete stream (the reference always full-syncs first,
+    * `replicate_database.go:220-235`) the two are identical. */
+  def normalize(ev: ChangeEvent, mergeKey: Seq[String],
+                appendMode: Boolean): Seq[KeyedOp] = {
+    def keyOf(m: Map[String, String]): Seq[String] =
+      mergeKey.map(c => if (c == "sid") ev.sid else m.getOrElse(c, null))
+    ev.op match {
+      case "I" =>
+        Seq(KeyedOp(keyOf(ev.after), ev.lsn, packOrd(ev.lsn, ev.seq, 1), "I", ev.after))
+      case "U" if ev.old_kind == "K" =>
+        Seq(
+          KeyedOp(keyOf(ev.before), ev.lsn, packOrd(ev.lsn, ev.seq, 0), "D", Map.empty),
+          KeyedOp(keyOf(ev.after), ev.lsn, packOrd(ev.lsn, ev.seq, 1), "I", ev.after))
+      case "U" if ev.old_kind == "O" =>
+        Seq(KeyedOp(keyOf(ev.before), ev.lsn, packOrd(ev.lsn, ev.seq, 1), "U", ev.after))
+      case "U" =>
+        Seq(KeyedOp(keyOf(ev.after), ev.lsn, packOrd(ev.lsn, ev.seq, 1), "U", ev.after))
+      case "D" if !appendMode => // append mode drops deletes (W4)
+        Seq(KeyedOp(keyOf(ev.before), ev.lsn, packOrd(ev.lsn, ev.seq, 1), "D", Map.empty))
+      case _ => Nil // D in append mode, R, T(runcate: parsed, ignored — W8)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Salted two-phase fold (the skew strategy)
+  // ---------------------------------------------------------------------
+
+  /** Fold all ops of a batch to one transformer per key.
+    *
+    * Phase A salts by contiguous `ord` range (NOT by hash — Xf composition
+    * is associative but not commutative, so each salt must hold a
+    * contiguous run) and folds locally; phase B composes the <= `salts`
+    * partials per key in range order. A hot conversation's events thus
+    * spread over `salts` reducers before the single per-key compose. */
+  def foldToXf(ops: Dataset[KeyedOp], salts: Int): Dataset[KeyXf] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+
+    def foldRun(key: Seq[String], run: Iterator[KeyedOp]): (Seq[String], Long, Xf) = {
+      val sorted = run.toArray.sortBy(_.ord)
+      var xf = Xf.identity
+      var maxLsn = Long.MinValue
+      sorted.foreach { o =>
+        xf = xf.andThen(Xf.ofOp(o.op, o.after))
+        if (o.lsn > maxLsn) maxLsn = o.lsn
+      }
+      (key, maxLsn, xf)
+    }
+
+    val folded: Dataset[(Seq[String], Long, Xf)] =
+      if (salts <= 1) ops.groupByKey(_.key).mapGroups((k, it) => foldRun(k, it))
+      else {
+        val Row(lo: Long, hi: Long) =
+          ops.select(min($"ord"), max($"ord")).head()
+        val span = math.max(1L, hi - lo + 1)
+        ops.groupByKey(o => (o.key, ((o.ord - lo).toDouble * salts / span).toInt))
+          .mapGroups { (ks: (Seq[String], Int), it: Iterator[KeyedOp]) =>
+            val (_, maxLsn, xf) = foldRun(ks._1, it)
+            (ks._1, ks._2, maxLsn, xf)
+          }
+          .groupByKey(_._1)
+          .mapGroups { (k, it) =>
+            val parts = it.toArray.sortBy(_._2) // compose in range order
+            val xf = parts.foldLeft(Xf.identity)((acc, p) => acc.andThen(p._4))
+            (k, parts.map(_._3).max, xf)
+          }
+      }
+    folded.map { case (k, maxLsn, xf) =>
+      KeyXf(k, maxLsn, xf.absentExists, xf.onAbsent, xf.presentKind, xf.onPresent)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // W1-W3: merge apply against the lake table
+  // ---------------------------------------------------------------------
+
+  /** Merge per-key transformers into the table: full-outer join on the
+    * (null-safe) merge key over touched buckets only, then pure Catalyst
+    * column expressions realize insert / TOAST-coalescing update / delete
+    * — no UDF in the apply path. */
+  def mergeApply(lake: LakeTable, keyXfs: Dataset[KeyXf], batchId: Long,
+                 lineage: Seq[LineageEntry],
+                 lsnHighWatermark: Long): Unit = {
+    val spark = lake.spark
+    val snap = lake.snapshot()
+    val schema = snap.schema
+    val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
+    val keyType: Map[String, DataType] =
+      mergeKey.map(c => c -> (if (c == "sid") StringType
+        else schema(c).dataType)).toMap
+
+    // flatten: key array -> typed key columns
+    val x0 = keyXfs.toDF()
+    val xdf = x0.select(
+      (mergeKey.zipWithIndex.map { case (c, i) =>
+        element_at(col("key"), i + 1).cast(keyType(c)).as(s"__k_$c")
+      } ++ Seq(col("maxLsn"), col("absentExists"), col("onAbsent"),
+        col("presentKind"), col("onPresent"))): _*)
+
+    val xBucket = pmod(xxhash64(snap.bucketCols.map(c => col(s"__k_$c")): _*),
+      lit(snap.numBuckets))
+    val touched: Set[Int] = xdf.select(xBucket.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    val target = lake.read(buckets = Some(touched))
+    val t = target.alias("t")
+    val x = xdf.alias("x")
+    val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c"))
+      .reduce(_ && _)
+    val joined = t.join(x, joinCond, "full_outer")
+
+    val tExists = mergeKey.map(c => col(s"t.$c").isNotNull).reduce(_ || _)
+    val xNull = col("x.presentKind").isNull
+    val exists =
+      when(xNull, lit(true)) // untouched row in a touched bucket
+        .when(tExists, col("x.presentKind") =!= lit(Xf.TO_ABSENT))
+        .otherwise(col("x.absentExists"))
+
+    def valOf(f: StructField): Column = {
+      if (mergeKey.contains(f.name))
+        coalesce(col(s"t.${f.name}"), col(s"x.__k_${f.name}")).as(f.name)
+      else {
+        val fromAbsent = element_at(col("x.onAbsent"), f.name).cast(f.dataType)
+        val fromPresent = element_at(col("x.onPresent"), f.name).cast(f.dataType)
+        when(xNull, col(s"t.${f.name}"))
+          .when(!tExists, fromAbsent)
+          .when(col("x.presentKind") === lit(Xf.TO_ROW), fromPresent)
+          // OVERRIDE: present key wins (incl. genuine NULL); absent key
+          // keeps the target value (unchanged-TOAST, process_message.go:67-72)
+          .when(map_contains_key(col("x.onPresent"), f.name), fromPresent)
+          .otherwise(col(s"t.${f.name}"))
+          .as(f.name)
+      }
+    }
+
+    val merged = joined.filter(exists)
+      .select(schema.fields.map(valOf).toIndexedSeq: _*)
+    val withBucket = merged.withColumn("__bucket",
+      pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
+
+    val newFiles = lake.writeDataFiles(withBucket, snap.currentSchemaId)
+    val removed = snap.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
+    lake.commit(newFiles, removed,
+      properties = Map(
+        "commit-epoch" -> batchId.toString,
+        "lsn-high-watermark" ->
+          math.max(lsnHighWatermark,
+            snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
+      lineage = lineage)
+  }
+
+  // ---------------------------------------------------------------------
+  // Schema evolution (north rule: applied BEFORE the merge)
+  // ---------------------------------------------------------------------
+
+  private val widen: Map[(String, String), DataType] = Map(
+    ("int", "bigint") -> LongType, ("smallint", "int") -> IntegerType,
+    ("smallint", "bigint") -> LongType, ("float", "double") -> DoubleType)
+
+  /** Diff in-stream Relation messages against the table schema and commit
+    * added columns / widened types (vs the reference's ignore-until-dest-
+    * altered rule, `docs/080-schema-modification.md:9-19` — we implement
+    * the stronger evolve-then-merge rule). */
+  def evolveSchema(lake: LakeTable, relations: Seq[Map[String, String]]): Unit = {
+    if (relations.isEmpty) return
+    val cur = lake.schema
+    var fields = cur.fields.toVector
+    var changed = false
+    relations.foreach { rel =>
+      rel.foreach { case (name, typeName) =>
+        val dt = parseType(typeName)
+        fields.indexWhere(_.name == name) match {
+          case -1 =>
+            fields :+= StructField(name, dt, nullable = true); changed = true
+          case i =>
+            val curT = fields(i).dataType.simpleString
+            widen.get((curT, dt.simpleString)).foreach { w =>
+              fields = fields.updated(i, fields(i).copy(dataType = w)); changed = true
+            }
+        }
+      }
+    }
+    if (changed)
+      lake.commit(Nil, Set.empty, newSchema = Some(StructType(fields)))
+  }
+
+  private def parseType(t: String): DataType = t.toLowerCase match {
+    case "string" | "text" | "varchar" => StringType
+    case "int" | "integer" | "serial" => IntegerType
+    case "bigint" | "long" | "bigserial" => LongType
+    case "smallint" => ShortType
+    case "double" | "double precision" => DoubleType
+    case "float" | "real" => FloatType
+    case "boolean" | "bool" => BooleanType
+    case "timestamp" | "timestamptz" => TimestampType
+    case "date" => DateType
+    case "binary" | "bytea" => BinaryType
+    case other => CatalystSqlParserShim.parse(other)
+  }
+
+  // ---------------------------------------------------------------------
+  // applyBatch: the foreachBatch unit (one destination transaction, W9)
+  // ---------------------------------------------------------------------
+
+  /** Apply one micro-batch of raw change events for one table mapping.
+    * Idempotent: if the lake's commit-epoch already covers `batchId` the
+    * batch is skipped (exactly-once on restart — the analog of the
+    * reference's `ON CONFLICT DO NOTHING` replay tolerance +
+    * LSN-ack-after-commit, `worker.go:135-165`). Returns true if applied.
+    */
+  def applyBatch(lake: LakeTable, events: Dataset[ChangeEvent],
+                 mapping: TableMapping, batchId: Long,
+                 salts: Int = 1): Boolean = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val committed = lake.snapshot().properties.getOrElse("commit-epoch", "-1").toLong
+    if (batchId <= committed) return false // already applied before a crash
+
+    // route: exact name or partitions-regex (mapping_table.go:57-81)
+    val routed0 = events.filter(e => mapping.matches(e.source_table))
+
+    // schema evolution from R messages, before the merge
+    val rels = routed0.filter(_.op == "R").collect().map(_.after).toSeq
+    evolveSchema(lake, rels)
+    val snap = lake.snapshot()
+    val schema = snap.schema
+
+    // P1 row filter over the decoded env (CEL analog). NULL result => keep,
+    // mirroring the reference's fail-open rule (process_message.go:116-135)
+    // — e.g. a delete's old tuple carries only the key, so a predicate over
+    // a non-key column evaluates to NULL and must not drop the delete.
+    val routed: Dataset[ChangeEvent] = mapping.filter match {
+      case Some(f) =>
+        val df = routed0.toDF()
+        val keep = df.withColumn("__env", envCol(schema))
+          .filter(col("op") === "R" || col("op") === "T" || coalesce(expr(
+            f.replaceAll("(?<![\\w.])(" + schema.fieldNames.mkString("|") + ")(?![\\w.])",
+              "__env.$1")), lit(true)))
+          .drop("__env")
+        keep.as[ChangeEvent]
+      case None => routed0
+    }
+
+    // P2 column transform ("set"): replaces the value maps entirely
+    val transformed: Dataset[ChangeEvent] = mapping.set match {
+      case Some(sets) =>
+        val df = routed.toDF()
+        val envAfter = struct(schema.fields.map(f =>
+          element_at(col("after"), f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        val envBefore = struct(schema.fields.map(f =>
+          element_at(col("before"), f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        def setMap(env: Column): Column = map_from_arrays(
+          array(sets.map(s => lit(s._1)): _*),
+          array(sets.map { case (_, e) =>
+            expr(e.replaceAll(
+              "(?<![\\w.])(" + schema.fieldNames.mkString("|") + ")(?![\\w.])",
+              "__e.$1")).cast(StringType)
+          }: _*))
+        df.withColumn("__e", envAfter)
+          .withColumn("after", when(col("op").isin("I", "U"), setMap(col("__e")))
+            .otherwise(col("after")))
+          .drop("__e")
+          .withColumn("__e", envBefore)
+          .withColumn("before", when(col("op").isin("U", "D") && col("old_kind") =!= "none",
+            setMap(col("__e"))).otherwise(col("before")))
+          .drop("__e")
+          .as[ChangeEvent]
+      case None => routed
+    }
+
+    val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
+    val appendMode = mapping.mode == TableMode.Append
+    val cached = transformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ops = cached.flatMap(e => normalize(e, mergeKey, appendMode))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (ops.isEmpty) {
+          // still advance the epoch so restart skip-logic stays monotone
+          lake.commit(Nil, Set.empty,
+            properties = Map("commit-epoch" -> batchId.toString))
+          return true
+        }
+
+        val xfs = foldToXf(ops, salts)
+
+        // lineage: per source partition (sid), the applied LSN range (A1);
+        // map-side partial aggregation, no wide shuffle of the events
+        val lin = cached.toDF().filter(!col("op").isin("R", "T"))
+          .groupBy("sid")
+          .agg(min("lsn").as("lo"), max("lsn").as("hi"))
+          .collect()
+          .map(r => LineageEntry(r.getString(0), r.getLong(1), r.getLong(2),
+            batchId, -1L)).toSeq
+        val hwm = if (lin.isEmpty) -1L else lin.map(_.maxLsn).max
+
+        mergeApply(lake, xfs, batchId, lin, hwm)
+        true
+      } finally ops.unpersist()
+    } finally cached.unpersist()
+  }
+}
+
+/** Parse a DDL type string via the public StructType.fromDDL. */
+private object CatalystSqlParserShim {
+  def parse(t: String): DataType =
+    StructType.fromDDL(s"`__c` $t").head.dataType
+}
