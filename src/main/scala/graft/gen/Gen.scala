@@ -123,11 +123,17 @@ object Gen {
   /** Materialize a log to parquet split into `numFiles` lsn-contiguous
     * files — the streaming source replays them as micro-batches in order
     * (the event-log analog of the WAL segments the reference tails). */
-  def writeLog(spark: SparkSession, cfg: Config, path: String, numFiles: Int): Unit = {
+  def writeLog(spark: SparkSession, cfg: Config, path: String, numFiles: Int): Unit =
+    writeSegments(spark, cfg, path, numFiles, 0 until numFiles)
+
+  /** Write only segments `segs` of an `numFiles`-segment split — lets tests
+    * append WAL segments to a live log directory. */
+  def writeSegments(spark: SparkSession, cfg: Config, path: String,
+                    numFiles: Int, segs: Range): Unit = {
     val n = cfg.numEvents
     val per = math.max(1L, (n + numFiles - 1) / numFiles)
     import spark.implicits._
-    (0 until numFiles).foreach { i =>
+    segs.foreach { i =>
       val lo = i * per; val hi = math.min(n, lo + per)
       if (lo < hi)
         // one file per segment: the file stream source replays files in

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.lake.{LakeTable, LineageEntry}
+import graft.model.{ChangeEvent, TableMapping}
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SCD2 "history" table mode (`streamer/process_history.go`, reference docs
+  * `040-streaming-modes.md:40-111`): every change appends a validity-
+  * interval version row with `kvsz_start`, `kvsz_end`, `kvsz_deleted`.
+  *
+  * Faithful semantics (incl. the reference's quirks):
+  *   - INSERT appends an open version with kvsz_start = 1900-01-01
+  *     (`process_message.go:254-256`) and closes nothing — two open
+  *     versions can coexist after insert-then-insert.
+  *   - UPDATE closes ALL open versions of the key (kvsz_end = t), then
+  *     appends a new open version with kvsz_start = t — unconditionally,
+  *     even if nothing was open (`process_history.go:56-89`). An omitted
+  *     (unchanged-TOAST) column is NULL in the new version, not carried
+  *     over (insertHistory binds only the present values).
+  *   - PK-update (old=K) closes the OLD key's open versions and appends
+  *     the new version under the NEW key.
+  *   - DELETE sets kvsz_deleted = true + kvsz_end = t on open versions
+  *     (soft delete, no new row) (`process_history.go:91-130`).
+  *
+  * Documented divergence: the reference stamps wall-clock `now()`
+  * (non-reproducible); we derive t deterministically from (lsn, seq) so
+  * replay is verifiable — same shape, reproducible values.
+  */
+object History {
+
+  val KVSZ_OPEN = "9999-01-01 00:00:00"
+  val KVSZ_T0 = "1900-01-01 00:00:00"
+
+  /** kvsz_* columns appended to the payload schema for history targets. */
+  def historySchema(payload: StructType): StructType = StructType(
+    payload.fields.toSeq ++ Seq(
+      StructField("kvsz_start", TimestampType, nullable = false),
+      StructField("kvsz_end", TimestampType, nullable = false),
+      StructField("kvsz_deleted", BooleanType, nullable = false)))
+
+  /** Deterministic logical time for an event: 2001-01-01 + lsn seconds
+    * + seq milliseconds (monotone in (lsn, seq)). */
+  def histTime(lsn: Long, seq: Int): String = {
+    val base = java.time.LocalDateTime.of(2001, 1, 1, 0, 0, 0)
+    val t = base.plusSeconds(lsn).plusNanos(seq.toLong * 1000000L)
+    t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+  }
+
+  /** History op kinds: I = open version @1900; C = close opens (deleted
+    * false); CD = close opens (deleted true); V = new open version @t. */
+  final case class HOp(key: Seq[String], ord: Long, kind: String,
+                       t: String, after: Map[String, String])
+
+  def normalize(ev: ChangeEvent, mergeKey: Seq[String]): Seq[HOp] = {
+    def keyOf(m: Map[String, String]): Seq[String] =
+      mergeKey.map(c => if (c == "sid") ev.sid else m.getOrElse(c, null))
+    val ord = (ev.lsn << 20) | (ev.seq.toLong << 2)
+    val t = histTime(ev.lsn, ev.seq)
+    ev.op match {
+      case "I" => Seq(HOp(keyOf(ev.after), ord | 1, "I", KVSZ_T0, ev.after))
+      case "U" if ev.old_kind == "K" => Seq(
+        HOp(keyOf(ev.before), ord, "C", t, Map.empty),
+        HOp(keyOf(ev.after), ord | 1, "V", t, ev.after))
+      case "U" =>
+        val k = if (ev.old_kind == "O") keyOf(ev.before) else keyOf(ev.after)
+        Seq(HOp(k, ord, "C", t, Map.empty), HOp(k, ord | 1, "V", t, ev.after))
+      case "D" => Seq(HOp(keyOf(ev.before), ord | 1, "CD", t, Map.empty))
+      case _ => Nil
+    }
+  }
+
+  /** One new version row (values + validity interval), plus per key the
+    * close instruction for the target's pre-existing open versions: the
+    * FIRST close-kind event in the batch ends them. */
+  final case class KeyResult(key: Seq[String],
+                             versions: Seq[(String, String, Boolean, Map[String, String])],
+                             closeT: String, closeDeleted: Boolean)
+
+  def foldKey(key: Seq[String], ops: Iterator[HOp]): KeyResult = {
+    val sorted = ops.toArray.sortBy(_.ord)
+    // open versions created in-batch: index into buf
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Boolean, Map[String, String])]()
+    val open = scala.collection.mutable.ArrayBuffer[Int]()
+    var closeT: String = null
+    var closeDeleted = false
+    def closeAll(t: String, del: Boolean): Unit = {
+      open.foreach { i => val v = buf(i); buf(i) = (v._1, t, del || v._3, v._4) }
+      open.clear()
+      if (closeT == null) { closeT = t; closeDeleted = del }
+    }
+    sorted.foreach { o =>
+      o.kind match {
+        case "I" => buf += ((KVSZ_T0, KVSZ_OPEN, false, o.after)); open += buf.size - 1
+        case "C" => closeAll(o.t, del = false)
+        case "CD" => closeAll(o.t, del = true)
+        case "V" => buf += ((o.t, KVSZ_OPEN, false, o.after)); open += buf.size - 1
+      }
+    }
+    KeyResult(key, buf.toSeq, closeT, closeDeleted)
+  }
+
+  /** Apply one batch of events in history mode. Same idempotence and
+    * routing contract as Replay.applyBatch. */
+  def applyBatch(lake: LakeTable, events: Dataset[ChangeEvent],
+                 mapping: TableMapping, batchId: Long): Boolean = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val snap0 = lake.snapshot()
+    if (batchId <= snap0.properties.getOrElse("commit-epoch", "-1").toLong) return false
+    val schema = snap0.schema
+    val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
+    val payloadCols = schema.fieldNames.filterNot(_.startsWith("kvsz_")).toSeq
+
+    val routed = events.filter(e => mapping.matches(e.source_table))
+    val ops = routed.flatMap(e => normalize(e, mergeKey))
+    val results = ops.groupByKey(_.key).mapGroups((k, it) => foldKey(k, it))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (results.isEmpty) {
+        lake.commit(Nil, Set.empty, properties = Map("commit-epoch" -> batchId.toString))
+        return true
+      }
+
+      // new version rows
+      val newRows = results.flatMap { r =>
+        r.versions.map { case (s, e, del, vals) =>
+          (r.key, s, e, del, vals)
+        }
+      }.toDF("key", "kvsz_start", "kvsz_end", "kvsz_deleted", "vals")
+      val newTyped = newRows.select(schema.fields.map { f =>
+        f.name match {
+          case "kvsz_start" => col("kvsz_start").cast(TimestampType).as(f.name)
+          case "kvsz_end" => col("kvsz_end").cast(TimestampType).as(f.name)
+          case "kvsz_deleted" => col("kvsz_deleted").as(f.name)
+          case n if mergeKey.contains(n) =>
+            element_at(col("key"), mergeKey.indexOf(n) + 1).cast(f.dataType).as(n)
+          case n => element_at(col("vals"), n).cast(f.dataType).as(n)
+        }
+      }.toIndexedSeq: _*)
+
+      // close instructions for pre-existing open versions
+      val closes = results.filter(_.closeT != null)
+        .map(r => (r.key, r.closeT, r.closeDeleted))
+        .toDF("key", "closeT", "closeDel")
+      val cdf = closes.select(
+        (mergeKey.zipWithIndex.map { case (c, i) =>
+          element_at(col("key"), i + 1).cast(schema(c).dataType).as(s"__k_$c")
+        } ++ Seq(col("closeT").cast(TimestampType).as("__closeT"),
+          col("closeDel").as("__closeDel"))): _*)
+
+      val allKeysB = results.toDF().select(
+        mergeKey.zipWithIndex.map { case (c, i) =>
+          element_at(col("key"), i + 1).cast(schema(c).dataType).as(s"__k_$c")
+        }: _*)
+      val bucketOf = pmod(xxhash64(snap0.bucketCols.map(c => col(s"__k_$c")): _*),
+        lit(snap0.numBuckets))
+      val touched = allKeysB.select(bucketOf.cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+
+      val target = lake.read(buckets = Some(touched)).alias("t")
+      val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c")).reduce(_ && _)
+      val isOpen = col("t.kvsz_end") === lit(KVSZ_OPEN).cast(TimestampType)
+      val updatedTarget = target.join(cdf.alias("x"), joinCond, "left_outer")
+        .select(schema.fields.map { f =>
+          f.name match {
+            case "kvsz_end" =>
+              when(col("x.__closeT").isNotNull && isOpen, col("x.__closeT"))
+                .otherwise(col("t.kvsz_end")).as(f.name)
+            case "kvsz_deleted" =>
+              when(col("x.__closeT").isNotNull && isOpen && col("x.__closeDel"),
+                lit(true)).otherwise(col("t.kvsz_deleted")).as(f.name)
+            case n => col(s"t.$n").as(n)
+          }
+        }.toIndexedSeq: _*)
+
+      val merged = updatedTarget.unionByName(newTyped)
+      val withBucket = merged.withColumn("__bucket",
+        pmod(xxhash64(snap0.bucketCols.map(col): _*), lit(snap0.numBuckets)))
+
+      val newFiles = lake.writeDataFiles(withBucket, snap0.currentSchemaId)
+      val removed = snap0.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
+      val lin = routed.toDF().filter(!col("op").isin("R", "T"))
+        .groupBy("sid").agg(min("lsn"), max("lsn")).collect()
+        .map(r => LineageEntry(r.getString(0), r.getLong(1), r.getLong(2), batchId, -1L))
+        .toSeq
+      lake.commit(newFiles, removed,
+        properties = Map(
+          "commit-epoch" -> batchId.toString,
+          "lsn-high-watermark" -> math.max(
+            if (lin.isEmpty) -1L else lin.map(_.maxLsn).max,
+            snap0.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
+        lineage = lin)
+      true
+    } finally results.unpersist()
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.gen.Gen
+import graft.lake.LakeTable
+import graft.model.{ChangeEvent, TableMapping, Transcripts}
+import graft.operators.History
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** SCD2 history mode vs a sequential oracle implementing the reference's
+  * process_history.go semantics one event at a time (40-history.robot
+  * analog): version chaining, soft delete, PK-update close+reinsert,
+  * multi-open-version quirk after insert-then-insert. */
+class HistorySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestBase.spark
+
+  private val mapping = TableMapping("transcripts", "transcripts")
+
+  /** Sequential oracle: list of version rows per the reference semantics. */
+  private def oracle(events: Seq[ChangeEvent], mergeKey: Seq[String],
+                     payloadCols: Seq[String]): Seq[Seq[String]] = {
+    case class V(key: Seq[String], var start: String, var end: String,
+                 var deleted: Boolean, vals: Map[String, String])
+    val rows = mutable.ArrayBuffer[V]()
+    def keyOf(ev: ChangeEvent, m: Map[String, String]): Seq[String] =
+      mergeKey.map(c => if (c == "sid") ev.sid else m.getOrElse(c, null))
+    events.sortBy(e => (e.lsn, e.seq)).foreach { ev =>
+      val t = History.histTime(ev.lsn, ev.seq)
+      def closeAll(key: Seq[String], del: Boolean): Unit =
+        rows.filter(v => v.key == key && v.end == History.KVSZ_OPEN).foreach { v =>
+          v.end = t; if (del) v.deleted = true
+        }
+      ev.op match {
+        case "I" =>
+          rows += V(keyOf(ev, ev.after), History.KVSZ_T0, History.KVSZ_OPEN, deleted = false, ev.after)
+        case "U" if ev.old_kind == "K" =>
+          closeAll(keyOf(ev, ev.before), del = false)
+          rows += V(keyOf(ev, ev.after), t, History.KVSZ_OPEN, deleted = false, ev.after)
+        case "U" =>
+          val k = if (ev.old_kind == "O") keyOf(ev, ev.before) else keyOf(ev, ev.after)
+          closeAll(k, del = false)
+          rows += V(k, t, History.KVSZ_OPEN, deleted = false, ev.after)
+        case "D" => closeAll(keyOf(ev, ev.before), del = true)
+        case _ =>
+      }
+    }
+    rows.toSeq.map { v =>
+      v.key ++ payloadCols.filterNot(mergeKey.contains).map(c => v.vals.getOrElse(c, null)) ++
+        Seq(normTs(v.start), normTs(v.end), v.deleted.toString)
+    }.sortBy(_.mkString("\u0001"))
+  }
+
+  /** Spark renders ".000" millis away; normalize oracle strings the same. */
+  private def normTs(s: String): String =
+    if (s.endsWith(".000")) s.dropRight(4) else s
+
+  test("history mode equals sequential SCD2 oracle (multi-batch)") {
+    val cfg = Gen.Config(numEvents = 12000, numConvs = 60, turnsPerConv = 8,
+      pInsert = 0.4, pUpdate = 0.45, pPkUpdate = 0.1, seed = 31)
+    val payload = Transcripts.schema
+    val spec = Transcripts.spec(numBuckets = 8)
+      .copy(schema = History.historySchema(payload))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("hist"), spec)
+    import spark.implicits._
+    val all = Gen.events(spark, cfg)
+    val per = cfg.numEvents / 3
+    (0 until 3).foreach { b =>
+      val lo = b * per; val hi = math.min(cfg.numEvents, (b + 1) * per)
+      val batch = all.filter(e => (e.lsn - 1) * cfg.txnSize + e.seq >= lo &&
+        (e.lsn - 1) * cfg.txnSize + e.seq < hi)
+      History.applyBatch(lake, batch, mapping, batchId = b)
+    }
+
+    val mergeKey = spec.mergeKey
+    val payloadCols = payload.fieldNames.toSeq
+    val localEvents = (0L until cfg.numEvents).map(id => Gen.mkEvent(id, cfg))
+    val want = oracle(localEvents, mergeKey, payloadCols)
+
+    val schema = lake.schema
+    val ordered = mergeKey ++ payloadCols.filterNot(mergeKey.contains) ++
+      Seq("kvsz_start", "kvsz_end", "kvsz_deleted")
+    val got = lake.read()
+      .select(ordered.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+      .collect().toSeq
+      .map(r => ordered.indices.map(i => r.getString(i)))
+      .sortBy(_.mkString("\u0001"))
+    assert(got.size == want.size, s"versions: engine=${got.size} oracle=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"version row $i:\n engine=$g\n oracle=$w")
+    }
+  }
+
+  test("history: soft delete keeps the row, closes the interval") {
+    import spark.implicits._
+    val spec = Transcripts.spec(numBuckets = 2)
+      .copy(schema = History.historySchema(Transcripts.schema))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("hist2"), spec)
+    val evs = Seq(
+      ChangeEvent(1, 0, "I", "transcripts", "s0", "none", Map.empty,
+        Map("conv_id" -> "c1", "turn_idx" -> "0", "role" -> "user",
+          "text" -> "hello", "tool" -> null, "ts" -> "2024-01-01 00:00:00")),
+      ChangeEvent(2, 0, "U", "transcripts", "s0", "none", Map.empty,
+        Map("conv_id" -> "c1", "turn_idx" -> "0", "role" -> "user",
+          "text" -> "hello v2", "tool" -> null, "ts" -> "2024-01-01 00:00:01")),
+      ChangeEvent(3, 0, "D", "transcripts", "s0", "K",
+        Map("conv_id" -> "c1", "turn_idx" -> "0"), Map.empty))
+    History.applyBatch(lake, spark.createDataset(evs), mapping, 0)
+    val rows = lake.read().orderBy("kvsz_start").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0); val r1 = rows(1)
+    assert(r0.getAs[String]("text") == "hello")
+    assert(!r0.getAs[Boolean]("kvsz_deleted")) // closed by the update, not deleted
+    assert(r1.getAs[String]("text") == "hello v2")
+    assert(r1.getAs[Boolean]("kvsz_deleted")) // soft-deleted open version
+    assert(r1.getAs[java.sql.Timestamp]("kvsz_end").toString.startsWith("2001-01-01"))
+  }
+}
