@@ -1,13 +1,89 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.lake.LakeTable
+import graft.model.{TableMapping, Transcripts}
+import graft.operators.{Similarity, TextPipeline}
+import graft.streaming.CdcStream
+import graft.verify.EventsCdc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
+  * §2.7 (pipeline extensions). Each `queries` entry is one operator;
+  * `oracleSql` carries the DuckDB recomputation the driver checks against.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: generate a deterministic transcript CDC log (tiny scale),
+    * replay it through Structured Streaming foreachBatch merge into the
+    * lake table, and return the converged transcripts state. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val cfg = gen.Gen.Config(numEvents = 20000L, numConvs = 200, skew = 2.0,
+      numSids = 2, evolveAtId = Some(10000L), numPartitions = 8)
+    gen.Gen.writeLog(spark, cfg, s"$dir/wal", 4)
+    val lake = LakeTable.create(spark, s"$dir/transcripts", Transcripts.spec())
+    CdcStream.runAvailable(spark, s"$dir/wal/seg-*", s"$dir/ckpt",
+      Seq(CdcStream.Route(TableMapping("transcripts", "transcripts"), lake)),
+      salts = 4)
+    lake.read().orderBy("conv_id", "turn_idx")
+  }
+
+  /** One entry per implemented operator (SURVEY.md §2 + §2.7). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CDC engine (events table interpreted as a change log) ---
+    "cdc_replay_clone" -> EventsCdc.qClone,
+    "cdc_replay_filter" -> EventsCdc.qFilter,
+    "cdc_replay_set" -> EventsCdc.qSet,
+    "cdc_replay_pkupdate" -> EventsCdc.qPkUpdate,
+    "cdc_replay_append" -> EventsCdc.qAppend,
+    "cdc_replay_sid_fanin" -> EventsCdc.qSidFanin,
+    "cdc_replay_routing" -> EventsCdc.qRouting,
+    "cdc_history_scd2" -> EventsCdc.qHistory,
+    "cdc_lineage_watermark" -> EventsCdc.qLineage,
+    "cdc_metrics_ops" -> EventsCdc.qMetrics,
+    "cdc_lww_window" -> EventsCdc.qLwwWindow,
+    "cdc_toast_lastnonnull" -> EventsCdc.qToastLastNonNull,
+    // --- training-data pipeline: dedup / text analysis (documents) ---
+    "dedup_exact" -> TextPipeline.dedupExact,
+    "dedup_ngram_jaccard" -> TextPipeline.dedupNgramJaccard,
+    "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLsh,
+    "dedup_simhash" -> TextPipeline.dedupSimhash,
+    "text_lang_id" -> TextPipeline.langId,
+    "text_quality" -> TextPipeline.quality,
+    "text_tokens" -> TextPipeline.tokenCount,
+    "text_fingerprint" -> TextPipeline.fingerprint,
+    "mm_binary_meta" -> TextPipeline.binaryMeta,
+    // --- similarity search (embeddings) ---
+    "embed_knn_topk" -> Similarity.knnBrute,
+    "embed_ann_lsh" -> Similarity.annLsh,
+    "embed_cosine_dedup" -> Similarity.cosineDedup
+  )
+
+  /** DuckDB oracle per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_replay_clone" -> EventsCdc.cloneOracle(),
+    "cdc_replay_filter" -> EventsCdc.cloneOracle(filterSql = "value > 10"),
+    "cdc_replay_set" -> EventsCdc.setOracle,
+    "cdc_replay_pkupdate" -> EventsCdc.cloneOracle(pkUpdate = true),
+    "cdc_replay_append" -> EventsCdc.cloneOracle(append = true),
+    "cdc_replay_sid_fanin" -> EventsCdc.cloneOracle(sidExpr = "'s' || (k % 2)"),
+    "cdc_replay_routing" -> EventsCdc.cloneOracle(excl = "event_type <> 'view'"),
+    "cdc_history_scd2" -> EventsCdc.historyOracle,
+    "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
+    "cdc_metrics_ops" -> EventsCdc.metricsOracle,
+    "cdc_lww_window" -> EventsCdc.lwwWindowOracle,
+    "cdc_toast_lastnonnull" -> EventsCdc.toastOracle,
+    "dedup_exact" -> TextPipeline.dedupExactOracle,
+    "dedup_ngram_jaccard" -> TextPipeline.dedupNgramJaccardOracle,
+    "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLshOracle,
+    "dedup_simhash" -> TextPipeline.dedupSimhashOracle,
+    "text_lang_id" -> TextPipeline.langIdOracle,
+    "text_quality" -> TextPipeline.qualityOracle,
+    "text_tokens" -> TextPipeline.tokenCountOracle,
+    "text_fingerprint" -> TextPipeline.fingerprintOracle,
+    "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
+    "embed_knn_topk" -> Similarity.knnBruteOracle,
+    "embed_ann_lsh" -> Similarity.annLshOracle,
+    "embed_cosine_dedup" -> Similarity.cosineDedupOracle
+  )
 }

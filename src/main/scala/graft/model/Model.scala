@@ -77,7 +77,13 @@ final case class TableMapping(
     mode: TableMode = TableMode.Clone,
     partitionsRegex: Option[String] = None,
     filter: Option[String] = None, // boolean Spark SQL expr over decoded row
-    set: Option[Seq[(String, String)]] = None // destCol -> Spark SQL expr
+    set: Option[Seq[(String, String)]] = None, // destCol -> Spark SQL expr
+    // Source-row schema for the filter/set expression env when it differs
+    // from the target schema — the analog of the reference evaluating CEL
+    // over the SOURCE relation's columns (`streamer/mapping_table.go:
+    // 115-143` builds the CEL env from source-table columns). None = the
+    // target schema doubles as the env (source == target layout).
+    sourceSchema: Option[org.apache.spark.sql.types.StructType] = None
 ) {
   /** Exact-then-regex match, mirroring `streamer/mapping_table.go:57-81`. */
   def matches(table: String): Boolean =

