@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[] mode (Bench's N vs 4N executor scaling) spawns executor
+// JVMs via the Spark launcher, which needs these two in the environment:
+run / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("GRAFT_GC_LOG").map(_ => "-Xlog:gc").toSeq

@@ -1,0 +1,62 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import graft.model.{TableMapping, TableMode}
+
+import java.nio.file.{Files, Paths}
+
+/** Declarative mapping-file loader — the analog of the reference's YAML map
+  * (`streamer/map.go:17-141`) / SQLite config schema
+  * (`streamer/migrations/0001_initial.sql:1-24`): a list of source
+  * databases, each with one or more tenant URLs (sid) and a table map
+  * carrying replication type, destination target, optional row filter,
+  * optional column-transform map, and optional physical-partition regex.
+  *
+  * Format is JSON (Jackson ships on the Spark classpath; zero extra deps):
+  * {{{
+  * { "databases": [ {
+  *     "name": "db1",
+  *     "urls": [ {"url": "wal/db1", "sid": "s0"} ],
+  *     "tables": {
+  *       "t1": {"type": "clone", "target": "t1",
+  *              "filter": "value > 10",
+  *              "set": {"c": "upper(c)"},
+  *              "partitions_regex": "t1_[0-9]+"}
+  *     } } ] }
+  * }}}
+  * Defaults mirror `map.go:93-141`: type=clone, target=source name.
+  */
+object MapConfig {
+
+  final case class UrlEntry(url: String, sid: String)
+  final case class TableEntry(
+      `type`: Option[String],
+      target: Option[String],
+      filter: Option[String],
+      set: Option[Map[String, String]],
+      partitions_regex: Option[String])
+  final case class SourceDatabase(name: String, urls: Seq[UrlEntry],
+                                  tables: Map[String, TableEntry])
+  final case class DbMap(databases: Seq[SourceDatabase])
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def parse(json: String): DbMap = mapper.readValue(json, classOf[DbMap])
+
+  def load(path: String): DbMap =
+    parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  /** Resolve one database's table map to engine mappings (the analog of
+    * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). */
+  def mappings(db: SourceDatabase): Seq[TableMapping] =
+    db.tables.toSeq.sortBy(_._1).map { case (src, t) =>
+      TableMapping(
+        sourceTable = src,
+        target = t.target.getOrElse(src),
+        mode = TableMode.parse(t.`type`.getOrElse("clone")),
+        partitionsRegex = t.partitions_regex,
+        filter = t.filter,
+        set = t.set.map(_.toSeq.sortBy(_._1)))
+    }
+}

@@ -121,26 +121,32 @@ object Gen {
   }
 
   /** Materialize a log to parquet split into `numFiles` lsn-contiguous
-    * files — the streaming source replays them as micro-batches in order
-    * (the event-log analog of the WAL segments the reference tails). */
-  def writeLog(spark: SparkSession, cfg: Config, path: String, numFiles: Int): Unit =
-    writeSegments(spark, cfg, path, numFiles, 0 until numFiles)
+    * segments — the streaming source replays them as micro-batches in
+    * order (the event-log analog of the WAL segments the reference
+    * tails). `filesPerSegment` > 1 splits each segment into several
+    * parquet files so a batch scan parallelizes across executor cores
+    * (a single-file segment pins the whole map side — decode, filter,
+    * stats, fold phase A — to ONE task). */
+  def writeLog(spark: SparkSession, cfg: Config, path: String, numFiles: Int,
+               filesPerSegment: Int = 1): Unit =
+    writeSegments(spark, cfg, path, numFiles, 0 until numFiles, filesPerSegment)
 
   /** Write only segments `segs` of an `numFiles`-segment split — lets tests
     * append WAL segments to a live log directory. */
   def writeSegments(spark: SparkSession, cfg: Config, path: String,
-                    numFiles: Int, segs: Range): Unit = {
+                    numFiles: Int, segs: Range,
+                    filesPerSegment: Int = 1): Unit = {
     val n = cfg.numEvents
     val per = math.max(1L, (n + numFiles - 1) / numFiles)
     import spark.implicits._
     segs.foreach { i =>
       val lo = i * per; val hi = math.min(n, lo + per)
       if (lo < hi)
-        // one file per segment: the file stream source replays files in
-        // (mtime, path) order, so single-file segments give a total
-        // cross-batch LSN order (per-key order is all the merge needs)
+        // segments replay in (mtime, path) order; intra-segment file order
+        // is irrelevant because the merge folds per key by (lsn, seq)
         spark.range(lo, hi, 1, cfg.numPartitions).map(id => mkEvent(id, cfg))
-          .coalesce(1).write.mode("overwrite").parquet(f"$path/seg-$i%05d")
+          .coalesce(filesPerSegment).write.mode("overwrite")
+          .parquet(f"$path/seg-$i%05d")
     }
   }
 }

@@ -119,10 +119,13 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
 
   /** Write `df` (which must carry an integer `__bucket` column) into new
     * immutable data files, one directory-partition per bucket, and return
-    * the DataFile entries (not yet committed). */
+    * the DataFile entries (not yet committed). Rows are clustered by
+    * bucket first so each bucket lands in O(1) files instead of
+    * (tasks x buckets) — the small-file explosion that otherwise makes
+    * every subsequent scan slower (standard lake-writer practice). */
   def writeDataFiles(df: DataFrame, schemaId: Int): Seq[DataFile] = {
     val tmp = dataDir.resolve(s"tmp-${UUID.randomUUID()}")
-    df.write.partitionBy("__bucket").parquet(tmp.toString)
+    df.repartition(col("__bucket")).write.partitionBy("__bucket").parquet(tmp.toString)
     val out = scala.collection.mutable.ArrayBuffer[DataFile]()
     Files.list(tmp).iterator.asScala
       .filter(p => p.getFileName.toString.startsWith("__bucket="))

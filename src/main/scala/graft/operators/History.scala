@@ -114,7 +114,7 @@ object History {
     val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
     val payloadCols = schema.fieldNames.filterNot(_.startsWith("kvsz_")).toSeq
 
-    val routed = events.filter(e => mapping.matches(e.source_table))
+    val routed = events.filter(Replay.routeCond(mapping))
     val ops = routed.flatMap(e => normalize(e, mergeKey))
     val results = ops.groupByKey(_.key).mapGroups((k, it) => foldKey(k, it))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -137,7 +137,7 @@ object History {
           case "kvsz_deleted" => col("kvsz_deleted").as(f.name)
           case n if mergeKey.contains(n) =>
             element_at(col("key"), mergeKey.indexOf(n) + 1).cast(f.dataType).as(n)
-          case n => element_at(col("vals"), n).cast(f.dataType).as(n)
+          case n => Replay.castText(element_at(col("vals"), n), f.dataType).as(n)
         }
       }.toIndexedSeq: _*)
 

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode / feature-extract /
+  * frame-sample as partition-local batch functions.
+  *
+  * The Spark-side shape is real and tested — schema, partition-local
+  * batching via `mapPartitions` on a typed Dataset (the JVM analog of
+  * `mapInPandas`: one iterator per partition, amortized per-batch setup,
+  * no per-row UDF dispatch), deterministic output — while the actual
+  * codec call is a clearly-marked STUB (`fakeDecode`): image/audio
+  * libraries are not available in this environment, so the "decoder"
+  * derives features from the bytes themselves, deterministically.
+  *
+  * Scale notes: decode is embarrassingly parallel (narrow, no shuffle);
+  * the expensive codec sits inside a mapPartitions so per-partition model/
+  * codec initialization happens once per task, not once per row. Feature
+  * vectors come back as fixed-width arrays ready for Similarity's
+  * LSH/top-k operators.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, byte_len: Int,
+                                 format: String, width: Int, height: Int,
+                                 features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic pure
+    * function of the payload bytes: "format" from a magic-byte sniff,
+    * fake dimensions from the length, features = per-stripe byte means. */
+  def fakeDecode(payload: Array[Byte]): (String, Int, Int, Array[Float]) = {
+    val fmt =
+      if (payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) "jpeg"
+      else if (payload.length >= 4 && payload(0) == 0x89.toByte && payload(1) == 'P') "png"
+      else "raw"
+    val w = math.max(1, payload.length % 640)
+    val h = math.max(1, payload.length % 480)
+    val feats = new Array[Float](FeatureDim)
+    if (payload.nonEmpty) {
+      val stripe = math.max(1, payload.length / FeatureDim)
+      var i = 0
+      while (i < FeatureDim) {
+        var s = 0L; var n = 0
+        var j = i * stripe
+        val end = math.min(payload.length, j + stripe)
+        while (j < end) { s += (payload(j) & 0xFF); n += 1; j += 1 }
+        feats(i) = if (n == 0) 0f else s.toFloat / n
+        i += 1
+      }
+    }
+    (fmt, w, h, feats)
+  }
+
+  /** Decode a binary media column into typed features, batched per
+    * partition (one codec init per task — the `mapInPandas` shape). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition (per-task) codec/model initialization goes here
+      it.map { r =>
+        val (fmt, w, h, feats) = fakeDecode(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, fmt, w, h, feats)
+      }
+    }
+  }
+
+  /** Documents-table driver: texts as stand-in payloads. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    decodeFeatures(media).toDF().orderBy("doc_id")
+  }
+}

@@ -26,6 +26,18 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
+  /** Phase timing to stderr when GRAFT_TIMING=1 (perf diagnosis). */
+  private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+  @inline private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   /** A normalized, keyed DML op: `ord` = (lsn, seq, sub) packed so that the
     * delete half of a PK-update (sub 0) sorts before its insert half
     * (sub 1) at identical (lsn, seq). */
@@ -43,6 +55,16 @@ object Replay {
   // P1/P2: row filter & column transform over the decoded row env
   // ---------------------------------------------------------------------
 
+  /** Decode one text-encoded value to `dt` — the set-oriented analog of
+    * the reference's per-OID text codecs (`process_message.go:33-44`,
+    * `decodeTextColumnData`). Scalars cast directly; arrays, structs and
+    * maps arrive as JSON text (the reference passes composite/array
+    * values through as text) and parse via from_json. */
+  def castText(c: Column, dt: DataType): Column = dt match {
+    case _: ArrayType | _: StructType | _: MapType => from_json(c, dt)
+    case _ => c.cast(dt)
+  }
+
   /** Decode the event's value map to typed columns of `schema` so that
     * filter/set expressions can reference plain column names — the analog
     * of the reference's CEL env (`streamer/process_message.go:82-114`).
@@ -50,7 +72,18 @@ object Replay {
   private def envCol(schema: StructType): Column = {
     val src = when(col("op") === "D", col("before")).otherwise(col("after"))
     struct(schema.fields.map(f =>
-      element_at(src, f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      castText(element_at(src, f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** R1 table routing as a native Column predicate (exact-then-regex,
+    * `mapping_table.go:57-81`) — NOT a typed lambda filter, which would
+    * force whole-row object deserialization (maps included) on every
+    * downstream pass and defeat parquet column pruning. `String.matches`
+    * is a full match, so the regex is anchored. */
+  def routeCond(mapping: TableMapping): Column = {
+    val exact = col("source_table") === lit(mapping.sourceTable)
+    mapping.partitionsRegex.fold(exact)(r =>
+      exact || regexp_like(col("source_table"), lit(s"^(?:$r)$$")))
   }
 
   // ---------------------------------------------------------------------
@@ -97,7 +130,8 @@ object Replay {
     * contiguous run) and folds locally; phase B composes the <= `salts`
     * partials per key in range order. A hot conversation's events thus
     * spread over `salts` reducers before the single per-key compose. */
-  def foldToXf(ops: Dataset[KeyedOp], salts: Int): Dataset[KeyXf] = {
+  def foldToXf(ops: Dataset[KeyedOp], salts: Int,
+               ordRange: Option[(Long, Long)] = None): Dataset[KeyXf] = {
     val spark = ops.sparkSession
     import spark.implicits._
 
@@ -115,8 +149,10 @@ object Replay {
     val folded: Dataset[(Seq[String], Long, Xf)] =
       if (salts <= 1) ops.groupByKey(_.key).mapGroups((k, it) => foldRun(k, it))
       else {
-        val Row(lo: Long, hi: Long) =
-          ops.select(min($"ord"), max($"ord")).head()
+        val (lo, hi) = ordRange.getOrElse {
+          val Row(l: Long, h: Long) = ops.select(min($"ord"), max($"ord")).head()
+          (l, h)
+        }
         val span = math.max(1L, hi - lo + 1)
         ops.groupByKey(o => (o.key, ((o.ord - lo).toDouble * salts / span).toInt))
           .mapGroups { (ks: (Seq[String], Int), it: Iterator[KeyedOp]) =>
@@ -155,18 +191,22 @@ object Replay {
       mergeKey.map(c => c -> (if (c == "sid") StringType
         else schema(c).dataType)).toMap
 
-    // flatten: key array -> typed key columns
+    // flatten: key array -> typed key columns. Persisted: it is consumed
+    // twice (touched-bucket pruning + the merge join) and recomputing it
+    // would replay the whole salted fold, shuffles included.
     val x0 = keyXfs.toDF()
     val xdf = x0.select(
       (mergeKey.zipWithIndex.map { case (c, i) =>
         element_at(col("key"), i + 1).cast(keyType(c)).as(s"__k_$c")
       } ++ Seq(col("maxLsn"), col("absentExists"), col("onAbsent"),
         col("presentKind"), col("onPresent"))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     val xBucket = pmod(xxhash64(snap.bucketCols.map(c => col(s"__k_$c")): _*),
       lit(snap.numBuckets))
-    val touched: Set[Int] = xdf.select(xBucket.cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touched: Set[Int] = timed("fold+touched")(xdf.select(xBucket.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet)
 
     val target = lake.read(buckets = Some(touched))
     val t = target.alias("t")
@@ -186,8 +226,8 @@ object Replay {
       if (mergeKey.contains(f.name))
         coalesce(col(s"t.${f.name}"), col(s"x.__k_${f.name}")).as(f.name)
       else {
-        val fromAbsent = element_at(col("x.onAbsent"), f.name).cast(f.dataType)
-        val fromPresent = element_at(col("x.onPresent"), f.name).cast(f.dataType)
+        val fromAbsent = castText(element_at(col("x.onAbsent"), f.name), f.dataType)
+        val fromPresent = castText(element_at(col("x.onPresent"), f.name), f.dataType)
         when(xNull, col(s"t.${f.name}"))
           .when(!tExists, fromAbsent)
           .when(col("x.presentKind") === lit(Xf.TO_ROW), fromPresent)
@@ -204,7 +244,7 @@ object Replay {
     val withBucket = merged.withColumn("__bucket",
       pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
 
-    val newFiles = lake.writeDataFiles(withBucket, snap.currentSchemaId)
+    val newFiles = timed("merge+write")(lake.writeDataFiles(withBucket, snap.currentSchemaId))
     val removed = snap.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
     lake.commit(newFiles, removed,
       properties = extraProps ++ Map(
@@ -213,6 +253,7 @@ object Replay {
           math.max(lsnHighWatermark,
             snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
       lineage = lineage)
+    } finally xdf.unpersist()
   }
 
   // ---------------------------------------------------------------------
@@ -284,17 +325,14 @@ object Replay {
     if (batchId <= committed) return false // already applied before a crash
 
     // route: exact name or partitions-regex (mapping_table.go:57-81)
-    val routed0 = events.filter(e => mapping.matches(e.source_table))
-
-    // schema evolution from R messages, before the merge
-    val rels = routed0.filter(_.op == "R").collect().map(_.after).toSeq
-    evolveSchema(lake, rels)
-    val snap = lake.snapshot()
-    val schema = snap.schema
+    val routed0 = events.filter(routeCond(mapping))
     // env schema for filter/set expressions: the source-row layout (CEL is
     // evaluated over source columns in the reference) or, absent an explicit
-    // source schema, the target layout
-    val envSchema = mapping.sourceSchema.getOrElse(schema)
+    // source schema, the target layout. Like the reference — whose CEL
+    // programs are compiled against the catalog as of map-refresh
+    // (`mapping_table.go:156-169`) — a column added by an R message in this
+    // same batch is not yet visible to filter/set expressions.
+    val envSchema = mapping.sourceSchema.getOrElse(lake.schema)
 
     // P1 row filter over the decoded env (CEL analog). NULL result => keep,
     // mirroring the reference's fail-open rule (process_message.go:116-135)
@@ -317,9 +355,9 @@ object Replay {
       case Some(sets) =>
         val df = routed.toDF()
         val envAfter = struct(envSchema.fields.map(f =>
-          element_at(col("after"), f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          castText(element_at(col("after"), f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
         val envBefore = struct(envSchema.fields.map(f =>
-          element_at(col("before"), f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          castText(element_at(col("before"), f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
         def setMap(env: Column): Column = map_from_arrays(
           array(sets.map(s => lit(s._1)): _*),
           array(sets.map { case (_, e) =>
@@ -339,48 +377,67 @@ object Replay {
       case None => routed
     }
 
-    val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
     val appendMode = mapping.mode == TableMode.Append
-    val cached = transformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // NOT persisted: the batch is consumed twice (stats pass + fold), but a
+    // vectorized parquet re-scan of the micro-batch is cheaper than the
+    // columnar cache build (dictionary/RLE compressibility scans showed up
+    // as a top CPU sink in thread profiles) — and it avoids pinning
+    // executor memory at 10^10-event scale.
+    val cached = transformed
+    locally {
+      // ONE stats pass over the batch (map-side partial agg, tiny result)
+      // yields lineage, metrics, the salt ord-range, emptiness, and
+      // R-message detection — instead of five separate jobs, which at
+      // micro-batch cadence would dominate wall time.
+      val stats = timed("stats")(cached.toDF().select("sid", "op", "lsn")
+        .groupBy("sid", "op")
+        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))))
+      val dml = stats.filter(s => s._2 != "R" && s._2 != "T")
+
+      // schema evolution from R messages, before the merge (north rule)
+      if (stats.exists(_._2 == "R")) {
+        val rels = cached.filter(col("op") === "R").collect().map(_.after).toSeq
+        evolveSchema(lake, rels)
+      }
+      val snap = lake.snapshot()
+      val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
+
+      if (dml.isEmpty) {
+        // still advance the epoch so restart skip-logic stays monotone
+        lake.commit(Nil, Set.empty,
+          properties = Map("commit-epoch" -> batchId.toString))
+        return true
+      }
+
       val ops = cached.flatMap(e => normalize(e, mergeKey, appendMode))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (ops.isEmpty) {
-          // still advance the epoch so restart skip-logic stays monotone
-          lake.commit(Nil, Set.empty,
-            properties = Map("commit-epoch" -> batchId.toString))
-          return true
-        }
 
-        val xfs = foldToXf(ops, salts)
+      // salt range derived from the already-known lsn span: ord is
+      // monotone in (lsn, seq, sub), so lsn bounds bound ord
+      val loOrd = packOrd(dml.map(_._3).min, 0, 0)
+      val hiOrd = packOrd(dml.map(_._4).max + 1, 0, 0) - 1
+      val xfs = foldToXf(ops, salts, Some((loOrd, hiOrd)))
 
-        // lineage: per source partition (sid), the applied LSN range (A1);
-        // map-side partial aggregation, no wide shuffle of the events
-        val lin = cached.toDF().filter(!col("op").isin("R", "T"))
-          .groupBy("sid")
-          .agg(min("lsn").as("lo"), max("lsn").as("hi"))
-          .collect()
-          .map(r => LineageEntry(r.getString(0), r.getLong(1), r.getLong(2),
-            batchId, -1L)).toSeq
-        val hwm = if (lin.isEmpty) -1L else lin.map(_.maxLsn).max
+      // lineage: per source partition (sid), the applied LSN range (A1)
+      val lin = dml.groupBy(_._1).map { case (sid, ss) =>
+        LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)
+      }.toSeq
+      val hwm = lin.map(_.maxLsn).max
 
-        // metrics (A3, the Prometheus-counter analog `streamer/metrics.go:
-        // 11-53`): cumulative received-op counters by op code, carried as
-        // snapshot properties so they commit atomically with the data
-        val prev = lake.snapshot().properties
-        val opCounts = cached.toDF().filter(!col("op").isin("R", "T"))
-          .groupBy("op").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val metricProps = opCounts.map { case (op, n) =>
-          val k = s"metrics-ops-$op"
-          k -> (prev.getOrElse(k, "0").toLong + n).toString
-        }
+      // metrics (A3, the Prometheus-counter analog `streamer/metrics.go:
+      // 11-53`): cumulative received-op counters by op code, carried as
+      // snapshot properties so they commit atomically with the data
+      val prev = snap.properties
+      val metricProps = dml.groupBy(_._2).map { case (op, ss) =>
+        val k = s"metrics-ops-$op"
+        k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
+      }
 
-        mergeApply(lake, xfs, batchId, lin, hwm, metricProps)
-        true
-      } finally ops.unpersist()
-    } finally cached.unpersist()
+      mergeApply(lake, xfs, batchId, lin, hwm, metricProps)
+      true
+    }
   }
 }
 

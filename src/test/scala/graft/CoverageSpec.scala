@@ -1,0 +1,120 @@
+package graft
+
+import graft.config.MapConfig
+import graft.lake.LakeTable
+import graft.model.{ChangeEvent, TableMapping, TableMode, TableSpec}
+import graft.operators.{Backfill, Replay}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config loading (S6), initial full sync (S4), and the datatype matrix
+  * (the analog of the reference's `50-datatypes.robot` 43-type suite). */
+class CoverageSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("map config: parse + resolve to TableMappings (map.go defaults)") {
+    val json =
+      """{"databases":[{"name":"db1",
+        |  "urls":[{"url":"wal/db1","sid":"s0"},{"url":"wal/db1b","sid":"s1"}],
+        |  "tables":{
+        |    "t1":{"type":"clone","target":"dest1","filter":"x > 1"},
+        |    "t2":{"type":"append"},
+        |    "t7":{"type":"history","partitions_regex":"t7_[0-9]+",
+        |          "set":{"a":"upper(a)"}}}}]}""".stripMargin
+    val db = MapConfig.parse(json).databases.head
+    assert(db.urls.map(_.sid) == Seq("s0", "s1"))
+    val ms = MapConfig.mappings(db)
+    assert(ms.map(_.sourceTable) == Seq("t1", "t2", "t7"))
+    val t1 = ms.head
+    assert(t1.target == "dest1" && t1.mode == TableMode.Clone &&
+      t1.filter.contains("x > 1"))
+    assert(ms(1).target == "t2" && ms(1).mode == TableMode.Append)
+    val t7 = ms(2)
+    assert(t7.mode == TableMode.History && t7.matches("t7_3") && !t7.matches("t8_1"))
+    assert(t7.set.contains(Seq("a" -> "upper(a)")))
+  }
+
+  test("initial full sync: intersect projection, sid injection, then CDC on top") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("backfill")
+    val spec = TableSpec("t",
+      StructType(Seq(
+        StructField("sid", StringType, nullable = true),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true),
+        StructField("extra", IntegerType, nullable = true))),
+      keyCols = Seq("k"), bucketCols = Seq("k"), numBuckets = 4, hasSid = true)
+    val lake = LakeTable.create(spark, s"$dir/t", spec)
+    // source has v + a column the target lacks; target's `extra` is absent
+    val src = Seq((1L, "a", "drop-me"), (2L, "b", "drop-me"))
+      .toDF("k", "v", "not_in_target")
+    Backfill.initialSync(lake, src, sid = Some("s0"), lsnFloor = 10L)
+
+    val rows = lake.read().orderBy("k").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("s0", 1L, "a"), ("s0", 2L, "b")))
+    assert(rows.forall(_.isNullAt(3))) // `extra` null-filled
+    assert(lake.snapshot().properties("lsn-high-watermark") == "10")
+
+    // streaming changes apply on top of the backfill
+    val evs = Seq(
+      ChangeEvent(11L, 0, "U", "t", "s0", "none", Map.empty,
+        Map("k" -> "1", "v" -> "a2")),
+      ChangeEvent(12L, 0, "D", "t", "s0", "none", Map("k" -> "2"), Map.empty))
+      .toDS()
+    Replay.applyBatch(lake, evs, TableMapping("t", "t"), batchId = 0)
+    val after = lake.read().orderBy("k").collect()
+    assert(after.length == 1)
+    assert(after.head.getString(2) == "a2")
+  }
+
+  test("datatype matrix: text-encoded values decode to the full type surface") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("types")
+    val spec = TableSpec("t5",
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("c_small", ShortType),
+        StructField("c_int", IntegerType),
+        StructField("c_big", LongType),
+        StructField("c_real", FloatType),
+        StructField("c_double", DoubleType),
+        StructField("c_num", DecimalType(38, 18)),
+        StructField("c_bool", BooleanType),
+        StructField("c_text", StringType),
+        StructField("c_date", DateType),
+        StructField("c_ts", TimestampNTZType),
+        StructField("c_arr", ArrayType(IntegerType)),
+        StructField("c_struct", StructType(Seq(
+          StructField("r", DoubleType), StructField("i", DoubleType)))))),
+      keyCols = Seq("k"), bucketCols = Seq("k"), numBuckets = 2)
+    val lake = LakeTable.create(spark, s"$dir/t5", spec)
+
+    val insert = ChangeEvent(1L, 0, "I", "t5", "s0", "none", Map.empty, Map(
+      "k" -> "1", "c_small" -> "7", "c_int" -> "123456", "c_big" -> "9999999999",
+      "c_real" -> "1.5", "c_double" -> "2.25", "c_num" -> "1234.5678",
+      "c_bool" -> "true", "c_text" -> "hello", "c_date" -> "2024-02-29",
+      "c_ts" -> "2024-01-01 12:34:56.789", "c_arr" -> "[1,2,3]",
+      "c_struct" -> """{"r": 1.0, "i": -2.0}"""))
+    // TOAST-ish update: only c_text and c_arr present; rest must persist
+    val update = ChangeEvent(2L, 0, "U", "t5", "s0", "none", Map.empty, Map(
+      "k" -> "1", "c_text" -> "world", "c_arr" -> "[4,5]"))
+    Replay.applyBatch(lake, Seq(insert, update).toDS(), TableMapping("t5", "t5"), 0)
+
+    val r = lake.read().collect().head
+    assert(r.getShort(1) == 7.toShort)
+    assert(r.getInt(2) == 123456)
+    assert(r.getLong(3) == 9999999999L)
+    assert(r.getFloat(4) == 1.5f)
+    assert(r.getDouble(5) == 2.25)
+    assert(r.getDecimal(6).compareTo(new java.math.BigDecimal("1234.5678")) == 0)
+    assert(r.getBoolean(7))
+    assert(r.getString(8) == "world")
+    assert(r.getDate(9).toString == "2024-02-29")
+    assert(r.getAs[java.time.LocalDateTime](10).toString == "2024-01-01T12:34:56.789")
+    assert(r.getSeq[Int](11) == Seq(4, 5))
+    val st = r.getStruct(12)
+    assert(st.getDouble(0) == 1.0 && st.getDouble(1) == -2.0)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.model.{TableMapping, TableSpec}
+import graft.operators.{Multimodal, Similarity, TextPipeline}
+import graft.verify.{EventsCdc, Oracle}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Tests for the driver-facing query surface: the events-as-CDC replay
+  * queries against the in-memory Oracle replayer (reference semantics),
+  * and the training-data pipeline operators against brute-force
+  * recomputation / planted duplicates. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("events-CDC clone replay equals the sequential oracle") {
+    import spark.implicits._
+    val engine = EventsCdc.qClone(spark, sf).collect()
+
+    val events = EventsCdc.derive(spark, sf).collect().toSeq
+    val state = Oracle.replay(events, EventsCdc.spec(),
+      TableMapping("events", "events_state"))
+    val oracle = Oracle.canonical(state,
+      Seq("user_id", "event_type", "value", "props", "ts"))
+
+    assert(engine.length == oracle.size)
+    val engineByKey = engine.map(r => r.getLong(0).toString ->
+      (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    oracle.foreach { case (key, vals) =>
+      val e = engineByKey(key.head)
+      assert(e._1 == vals(1), s"event_type for key $key")
+      assert(e._2 == vals(2).toDouble, s"value for key $key")
+      assert(e._3 == vals(3), s"props for key $key")
+    }
+  }
+
+  test("events-CDC pk-update replay equals the sequential oracle") {
+    val engine = EventsCdc.qPkUpdate(spark, sf).collect()
+    val events = EventsCdc.derive(spark, sf, pkUpdate = true).collect().toSeq
+    val state = Oracle.replay(events, EventsCdc.spec(),
+      TableMapping("events", "events_state"))
+    assert(engine.length == state.size)
+    val keys = engine.map(_.getLong(0).toString).toSet
+    assert(keys == state.keySet.map(_.head))
+  }
+
+  test("minhash-LSH finds exactly the high-Jaccard pairs (brute force)") {
+    import spark.implicits._
+    // brute-force uncapped all-pairs jaccard over word-3-gram sets
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa.size + sb.size - inter) >= 0.8
+    } yield (a, b)).toSet
+
+    val got = TextPipeline.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test corpus should contain planted near-dups")
+    assert(got == want)
+  }
+
+  test("planted duplicates: exact + simhash + ngram detect them") {
+    val dir = SparkTestBase.tmpDir("plant")
+    import spark.implicits._
+    val base = (0 until 50).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word25 ", "changed ") // one token of 50 differs
+    val docs = Seq(
+      (0L, base.trim, "en", "s", base.trim.length.toLong),
+      (1L, base.trim, "en", "s", base.trim.length.toLong), // exact dup
+      (2L, near.trim, "en", "s", near.trim.length.toLong), // near dup
+      (3L, "completely different words here now", "en", "s", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val exact = TextPipeline.dedupExact(spark, dir).collect()
+    assert(exact.length == 3) // 4 docs, one exact-dup pair collapses
+    assert(exact.map(_.getLong(2)).max == 2) // n_copies = 2 for the dup
+
+    val sim = TextPipeline.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((0L, 1L)), s"simhash must pair the exact dups: $sim")
+
+    val ngram = TextPipeline.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram.contains((0L, 1L)))
+    assert(ngram.contains((0L, 2L)) && ngram.contains((1L, 2L)),
+      s"near-dup (one token of 50 differs) must pass jaccard 0.8: $ngram")
+  }
+
+  test("knn matches in-memory brute force (quantized dot)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(x =>
+        BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+    val queries = vecs.filter(_._1 < Similarity.NumQueries)
+    val want = queries.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, qv.zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, d) => (-d, id) }
+        .take(Similarity.TopK)
+        .zipWithIndex
+        .map { case ((id, d), i) => (qid, id, d, i + 1) }
+    }.toSet
+    val got = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("multimodal decode: deterministic partition-local plumbing") {
+    val f1 = Multimodal.features(spark, sf).collect()
+    val f2 = Multimodal.features(spark, sf).collect()
+    assert(f1.length == 500)
+    assert(f1.map(_.getLong(0)).toSeq == f2.map(_.getLong(0)).toSeq)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.getSeq[Float](5) == b.getSeq[Float](5), "features must be deterministic")
+    }
+    // ASCII text: byte length == n_chars
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f1.foreach(r => assert(r.getInt(1).toLong == chars(r.getLong(0))))
+    // feature vectors have the declared fixed width
+    f1.foreach(r => assert(r.getSeq[Float](5).length == Multimodal.FeatureDim))
+  }
+}
