@@ -10,7 +10,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.getOrElse("32")
     val events = args.lift(1).map(_.toLong).getOrElse(500000L)
-    val nB = 8
+    val nB = args.lift(2).map(_.toInt).getOrElse(8)
     val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession.builder().master(master)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -33,13 +33,13 @@ object Probe {
     // warmup
     val lakeW = LakeTable.create(spark, s"$work/tw", graft.model.Transcripts.spec(numBuckets = 64))
     val b0 = spark.read.schema(graft.model.ChangeEvent.schema).parquet(f"$work/wal/seg-00000").as[graft.model.ChangeEvent]
-    graft.operators.Replay.applyBatch(lakeW, b0, mapping, 0, salts = 8)
+    graft.operators.Replay.applyBatch(lakeW, b0, mapping, 0, salts = sys.env.getOrElse("GRAFT_SALTS","0").toInt)
     val tAll = System.nanoTime()
     (0 until nB).foreach { b =>
       val t0 = System.nanoTime()
       val batch = spark.read.schema(graft.model.ChangeEvent.schema)
         .parquet(f"$work/wal/seg-$b%05d").as[graft.model.ChangeEvent]
-      graft.operators.Replay.applyBatch(lake, batch, mapping, b, salts = 8)
+      graft.operators.Replay.applyBatch(lake, batch, mapping, b, salts = sys.env.getOrElse("GRAFT_SALTS","0").toInt)
       println(f"[probe] batch $b: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     println(f"[probe] total: ${(System.nanoTime() - tAll) / 1e9}%.2f s cores=$cores events=$events")

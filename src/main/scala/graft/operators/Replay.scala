@@ -172,14 +172,111 @@ object Replay {
   }
 
   // ---------------------------------------------------------------------
+  // Catalyst-native fold (default): the Xf fold decomposed into per-column
+  // conditional aggregates — no object (de)serialization, whole-stage
+  // codegen end to end, and partial (map-side) aggregation gives the
+  // pre-merge local reduce for hot keys natively.
+  //
+  // Derivation (provably equal to the sequential Xf fold; cross-checked
+  // against the typed path + the DuckDB oracle):
+  //   dl  = max ord of D ops          (segment boundary; null = no delete)
+  //   fi  = min ord of I ops > dl     (the insert that creates the row)
+  //   live = {op at fi} ∪ {U ops with ord > fi}
+  //   onAbsent  = per column, last present value among live
+  //   absentExists = fi ≠ null
+  //   presentKind = dl null ? OVERRIDE : (fi ≠ null ? TO_ROW : TO_ABSENT)
+  //   onPresent = OVERRIDE ? per-column last present among ALL U ops
+  //                        : onAbsent   (suffix fold after the delete)
+  // ---------------------------------------------------------------------
+
+  /** Normalize routed DML events (R/T pre-filtered) into keyed op rows via
+    * pure expressions; PK-updates explode into D(old)+I(new) halves. */
+  def normalizeDF(routed: DataFrame, mergeKey: Seq[String],
+                  appendMode: Boolean): DataFrame = {
+    def keyArr(src: Column): Column = array(mergeKey.map(c =>
+      if (c == "sid") col("sid") else element_at(src, c)): _*)
+    val ordBase = shiftleft(col("lsn"), 20) + col("seq") * 2
+    val emptyMap = map().cast("map<string,string>")
+    def half(key: Column, sub: Int, op: Column, after: Column): Column =
+      struct(key.as("key"), (ordBase + sub).as("ord"), op.as("op"), after.as("after"))
+    val halves = when(col("op") === "U" && col("old_kind") === "K",
+      array(
+        half(keyArr(col("before")), 0, lit("D"), emptyMap),
+        half(keyArr(col("after")), 1, lit("I"), col("after"))))
+      .otherwise(array(half(
+        when(col("op") === "D" || col("old_kind") === "O", keyArr(col("before")))
+          .otherwise(keyArr(col("after"))),
+        1, col("op"),
+        when(col("op") === "D", emptyMap).otherwise(col("after")))))
+    routed
+      .filter(col("op").isin("I", "U", "D") &&
+        !(lit(appendMode) && col("op") === "D"))
+      .select(col("lsn"), explode(halves).as("h"))
+      .select(col("lsn"), col("h.key").as("key"), col("h.ord").as("ord"),
+        col("h.op").as("op"), col("h.after").as("after"))
+  }
+
+  /** Fold normalized op rows to one KeyXf-shaped row per key — the
+    * Catalyst twin of [[foldToXf]]. One key-partitioned window pass (two
+    * unbounded window aggs share the sort) + one hash aggregation with
+    * map-side combine. */
+  def foldToXfDF(ops: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val o = ops
+      .withColumn("dl", max(when(col("op") === "D", col("ord"))).over(w))
+      .withColumn("fi", min(when(col("op") === "I" &&
+        col("ord") > coalesce(col("dl"), lit(Long.MinValue)), col("ord"))).over(w))
+    val live = col("ord") === col("fi") ||
+      (col("op") === "U" && col("ord") > col("fi")) // fi null => false
+
+    // per-column candidate: latest (ord, value) among rows matching cond
+    // that carry the column; max over struct(ord, v) ignores nulls and
+    // compares by the unique ord — genuine NULL values ride inside v
+    def cand(cond: Column, c: String): Column =
+      max(when(cond && map_contains_key(col("after"), c),
+        struct(col("ord").as("o"),
+          element_at(col("after"), c).as("v"))))
+
+    val aggs =
+      Seq(max(col("lsn")).as("maxLsn"), max(col("dl")).as("dl"),
+        max(col("fi")).as("fi")) ++
+      payloadCols.map(c => cand(live, c).as(s"__abs_$c")) ++
+      payloadCols.map(c => cand(col("op") === "U", c).as(s"__upd_$c"))
+    val g = o.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+
+    def mapOf(prefix: String): Column = map_from_entries(transform(
+      filter(
+        array(payloadCols.map(c =>
+          struct(lit(c).as("key"),
+            col(s"__${prefix}_$c").getField("v").as("value"),
+            col(s"__${prefix}_$c").isNotNull.as("present"))): _*),
+        e => e.getField("present")),
+      e => struct(e.getField("key").as("key"), e.getField("value").as("value"))))
+
+    val absMap = mapOf("abs")
+    g.select(
+      col("key"), col("maxLsn"),
+      col("fi").isNotNull.as("absentExists"),
+      when(col("fi").isNotNull, absMap).otherwise(map().cast("map<string,string>"))
+        .as("onAbsent"),
+      when(col("dl").isNull, lit(Xf.OVERRIDE))
+        .when(col("fi").isNotNull, lit(Xf.TO_ROW))
+        .otherwise(lit(Xf.TO_ABSENT)).as("presentKind"),
+      when(col("dl").isNull, mapOf("upd"))
+        .when(col("fi").isNotNull, absMap)
+        .otherwise(map().cast("map<string,string>")).as("onPresent"))
+  }
+
+  // ---------------------------------------------------------------------
   // W1-W3: merge apply against the lake table
   // ---------------------------------------------------------------------
 
   /** Merge per-key transformers into the table: full-outer join on the
     * (null-safe) merge key over touched buckets only, then pure Catalyst
     * column expressions realize insert / TOAST-coalescing update / delete
-    * — no UDF in the apply path. */
-  def mergeApply(lake: LakeTable, keyXfs: Dataset[KeyXf], batchId: Long,
+    * — no UDF in the apply path. `keyXfs` is KeyXf-shaped: either
+    * `foldToXf(...).toDF()` (typed salted path) or [[foldToXfDF]]. */
+  def mergeApply(lake: LakeTable, keyXfs: DataFrame, batchId: Long,
                  lineage: Seq[LineageEntry],
                  lsnHighWatermark: Long,
                  extraProps: Map[String, String] = Map.empty): Unit = {
@@ -193,8 +290,8 @@ object Replay {
 
     // flatten: key array -> typed key columns. Persisted: it is consumed
     // twice (touched-bucket pruning + the merge join) and recomputing it
-    // would replay the whole salted fold, shuffles included.
-    val x0 = keyXfs.toDF()
+    // would replay the whole fold, shuffles included.
+    val x0 = keyXfs
     val xdf = x0.select(
       (mergeKey.zipWithIndex.map { case (c, i) =>
         element_at(col("key"), i + 1).cast(keyType(c)).as(s"__k_$c")
@@ -317,7 +414,7 @@ object Replay {
     */
   def applyBatch(lake: LakeTable, events: Dataset[ChangeEvent],
                  mapping: TableMapping, batchId: Long,
-                 salts: Int = 1): Boolean = {
+                 salts: Int = 0): Boolean = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -412,13 +509,22 @@ object Replay {
         return true
       }
 
-      val ops = cached.flatMap(e => normalize(e, mergeKey, appendMode))
-
-      // salt range derived from the already-known lsn span: ord is
-      // monotone in (lsn, seq, sub), so lsn bounds bound ord
-      val loOrd = packOrd(dml.map(_._3).min, 0, 0)
-      val hiOrd = packOrd(dml.map(_._4).max + 1, 0, 0) - 1
-      val xfs = foldToXf(ops, salts, Some((loOrd, hiOrd)))
+      // fold strategy: salts == 0 (default) -> the Catalyst-native fold
+      // (codegen, map-side combine); salts >= 1 -> the typed Xf fold with
+      // explicit ord-range salting (the algebraic reference path; both are
+      // cross-validated by tests and the oracle harness)
+      val xfs: DataFrame =
+        if (salts <= 0) {
+          val payloadCols = snap.schema.fieldNames.filterNot(mergeKey.contains).toSeq
+          foldToXfDF(normalizeDF(cached.toDF(), mergeKey, appendMode), payloadCols)
+        } else {
+          val ops = cached.flatMap(e => normalize(e, mergeKey, appendMode))
+          // salt range derived from the already-known lsn span: ord is
+          // monotone in (lsn, seq, sub), so lsn bounds bound ord
+          val loOrd = packOrd(dml.map(_._3).min, 0, 0)
+          val hiOrd = packOrd(dml.map(_._4).max + 1, 0, 0) - 1
+          foldToXf(ops, salts, Some((loOrd, hiOrd))).toDF()
+        }
 
       // lineage: per source partition (sid), the applied LSN range (A1)
       val lin = dml.groupBy(_._1).map { case (sid, ss) =>

@@ -34,7 +34,7 @@ object CdcStream {
             eventLogGlob: String,
             checkpointDir: String,
             routes: Seq[Route],
-            salts: Int = 1,
+            salts: Int = 0,
             maxFilesPerTrigger: Int = 1,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._

@@ -98,7 +98,7 @@ object EventsCdc {
     * through the engine into a fresh lake table; returns the table. */
   def replay(spark: SparkSession, dir: String, mapping: TableMapping,
              tspec: TableSpec, pkUpdate: Boolean = false, sidMod: Int = 1,
-             routed: Boolean = false, salts: Int = 4): LakeTable = {
+             routed: Boolean = false, salts: Int = 0): LakeTable = {
     val events = derive(spark, dir, pkUpdate, sidMod, routed)
     val tmp = Files.createTempDirectory("graft-q").toString
     val lake = LakeTable.create(spark, s"$tmp/t", tspec)

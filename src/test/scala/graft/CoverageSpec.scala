@@ -69,6 +69,77 @@ class CoverageSpec extends AnyFunSuite {
     assert(after.head.getString(2) == "a2")
   }
 
+  test("replica-identity-full: update/delete keyed by the whole old tuple") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("ridfull")
+    val spec = TableSpec("t",
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true))),
+      keyCols = Seq("k"), bucketCols = Seq("k"), numBuckets = 2)
+    val lake = LakeTable.create(spark, s"$dir/t", spec)
+    val evs = Seq(
+      ChangeEvent(1L, 0, "I", "t", "s0", "none", Map.empty, Map("k" -> "1", "v" -> "a")),
+      // old_kind O: the key comes from the whole old row; after omits k
+      ChangeEvent(2L, 0, "U", "t", "s0", "O",
+        Map("k" -> "1", "v" -> "a"), Map("v" -> "b")),
+      // O-update on an absent key is a no-op (0 rows affected)
+      ChangeEvent(3L, 0, "U", "t", "s0", "O",
+        Map("k" -> "9", "v" -> "zzz"), Map("v" -> "never")))
+      .toDS()
+    Replay.applyBatch(lake, evs, TableMapping("t", "t"), 0)
+    val rows = lake.read().collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "b")
+  }
+
+  test("type widening: R message widens int -> bigint before the merge") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("widen")
+    val spec = TableSpec("t",
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("n", IntegerType, nullable = true))),
+      keyCols = Seq("k"), bucketCols = Seq("k"), numBuckets = 2)
+    val lake = LakeTable.create(spark, s"$dir/t", spec)
+    Replay.applyBatch(lake,
+      Seq(ChangeEvent(1L, 0, "I", "t", "s0", "none", Map.empty,
+        Map("k" -> "1", "n" -> "41"))).toDS(),
+      TableMapping("t", "t"), 0)
+    // batch 1 carries the widening R message AND a value beyond int range
+    Replay.applyBatch(lake,
+      Seq(
+        ChangeEvent(2L, 0, "R", "t", "s0", "none", Map.empty,
+          Map("k" -> "bigint", "n" -> "bigint")),
+        ChangeEvent(3L, 0, "I", "t", "s0", "none", Map.empty,
+          Map("k" -> "2", "n" -> "9999999999"))).toDS(),
+      TableMapping("t", "t"), 1)
+    assert(lake.schema("n").dataType == LongType, "n must widen to bigint")
+    val rows = lake.read().orderBy("k").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(41L, 9999999999L),
+      "pre-evolution files must re-read aligned (cast) to the widened schema")
+  }
+
+  test("fold strategies agree: Catalyst fold == typed salted Xf fold") {
+    import spark.implicits._
+    val cfg = graft.gen.Gen.Config(numEvents = 30000L, numConvs = 120,
+      turnsPerConv = 8, skew = 2.5, pPkUpdate = 0.15, pToast = 0.3, numSids = 2)
+    val events = graft.gen.Gen.events(spark, cfg)
+    val mapping = TableMapping("transcripts", "transcripts")
+    def run(salts: Int): Seq[String] = {
+      val dir = SparkTestBase.tmpDir(s"ab$salts")
+      val lake = LakeTable.create(spark, s"$dir/t", graft.model.Transcripts.spec())
+      // two batches so cross-batch present/absent transitions are hit
+      Replay.applyBatch(lake, events.filter(_.lsn <= 4000), mapping, 0, salts)
+      Replay.applyBatch(lake, events.filter(_.lsn > 4000), mapping, 1, salts)
+      lake.read().orderBy("conv_id", "turn_idx")
+        .collect().map(_.mkString("")).toSeq
+    }
+    val sql = run(0)
+    val typed = run(4)
+    assert(sql.nonEmpty && sql == typed)
+  }
+
   test("datatype matrix: text-encoded values decode to the full type surface") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("types")
