@@ -24,7 +24,7 @@ object SparkEntry {
     val lake = LakeTable.create(spark, s"$dir/transcripts", Transcripts.spec())
     CdcStream.runAvailable(spark, s"$dir/wal/seg-*", s"$dir/ckpt",
       Seq(CdcStream.Route(TableMapping("transcripts", "transcripts"), lake)),
-      salts = 4)
+      salts = 0)
     lake.read().orderBy("conv_id", "turn_idx")
   }
 
