@@ -120,6 +120,41 @@ class CoverageSpec extends AnyFunSuite {
       "pre-evolution files must re-read aligned (cast) to the widened schema")
   }
 
+  test("multi-table fan-out: per-table epochs survive a mid-batch crash") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("fanout")
+    val spec = TableSpec("t",
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true))),
+      keyCols = Seq("k"), bucketCols = Seq("k"), numBuckets = 2)
+    val lakeA = LakeTable.create(spark, s"$dir/a", spec.copy(name = "a"))
+    val lakeB = LakeTable.create(spark, s"$dir/b", spec.copy(name = "b"))
+    val mapA = TableMapping("t", "a")
+    val mapB = TableMapping("t", "b", mode = TableMode.Append)
+    val batch0 = Seq(
+      ChangeEvent(1L, 0, "I", "t", "s0", "none", Map.empty, Map("k" -> "1", "v" -> "a")),
+      ChangeEvent(2L, 0, "D", "t", "s0", "none", Map("k" -> "1"), Map.empty))
+      .toDS()
+    // one foreachBatch fans out to A then B; "crash" after A's commit
+    assert(Replay.applyBatch(lakeA, batch0, mapA, 0))
+    // restart: batch 0 replays for BOTH routes — A skips (epoch), B applies
+    assert(!Replay.applyBatch(lakeA, batch0, mapA, 0))
+    assert(Replay.applyBatch(lakeB, batch0, mapB, 0))
+    assert(lakeA.read().count() == 0) // clone: delete applied, not duplicated
+    assert(lakeB.read().count() == 1) // append: delete dropped
+    // next batch applies to both normally
+    val batch1 = Seq(
+      ChangeEvent(3L, 0, "I", "t", "s0", "none", Map.empty, Map("k" -> "2", "v" -> "b")))
+      .toDS()
+    assert(Replay.applyBatch(lakeA, batch1, mapA, 1))
+    assert(Replay.applyBatch(lakeB, batch1, mapB, 1))
+    assert(lakeA.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(lakeB.read().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(lakeA.snapshot().properties("commit-epoch") == "1")
+    assert(lakeB.snapshot().properties("commit-epoch") == "1")
+  }
+
   test("fold strategies agree: Catalyst fold == typed salted Xf fold") {
     import spark.implicits._
     val cfg = graft.gen.Gen.Config(numEvents = 30000L, numConvs = 120,
