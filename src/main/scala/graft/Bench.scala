@@ -74,9 +74,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val events = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "16000000").toLong
+    // defaults sized so a full driver-run finishes in ~8 min; raise
+    // SPARK_GRAFT_BENCH_EVENTS/RUNS for tighter (min-of-2) measurements
+    val events = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "12000000").toLong
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "400000").toLong
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "4").toInt
     val salts = 8
     val coresPerExec = 4
