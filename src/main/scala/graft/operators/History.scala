@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.lake.{LakeTable, LineageEntry}
 import graft.model.{ChangeEvent, TableMapping}
-import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,6 +101,66 @@ object History {
     KeyResult(key, buf.toSeq, closeT, closeDeleted)
   }
 
+  /** Catalyst-native batch fold (the twin of Replay.foldToXfDF for SCD2):
+    * normalize events to HOp rows via expressions, then one key-partitioned
+    * ordered window finds each version's next closer (its kvsz_end /
+    * soft-delete flag) and each key's FIRST closer (which ends the
+    * target's pre-existing open versions). Returns (newVersions,
+    * closeInstructions) DataFrames with `key: array<string>` plus typed
+    * payload columns. */
+  private def foldDF(routed: DataFrame, mergeKey: Seq[String]): (DataFrame, DataFrame) = {
+    def keyArr(src: Column): Column = array(mergeKey.map(c =>
+      if (c == "sid") col("sid") else element_at(src, c)): _*)
+    val ordBase = shiftleft(col("lsn"), 20) + col("seq") * 4
+    val emptyMap = map().cast("map<string,string>")
+    val histT = concat(
+      date_format(lit("2001-01-01").cast("timestamp") +
+        make_dt_interval(lit(0), lit(0), lit(0), col("lsn").cast("decimal(20,0)")),
+        "yyyy-MM-dd HH:mm:ss"),
+      lit("."), lpad(col("seq").cast("string"), 3, "0"))
+    def h(key: Column, sub: Int, kind: String, t: Column, after: Column): Column =
+      struct(key.as("key"), (ordBase + sub).as("ord"), lit(kind).as("kind"),
+        t.as("t"), after.as("after"))
+    val halves =
+      when(col("op") === "I",
+        array(h(keyArr(col("after")), 1, "I", lit(KVSZ_T0), col("after"))))
+      .when(col("op") === "U" && col("old_kind") === "K",
+        array(h(keyArr(col("before")), 0, "C", histT, emptyMap),
+          h(keyArr(col("after")), 1, "V", histT, col("after"))))
+      .when(col("op") === "U",
+        array(
+          h(when(col("old_kind") === "O", keyArr(col("before")))
+            .otherwise(keyArr(col("after"))), 0, "C", histT, emptyMap),
+          h(when(col("old_kind") === "O", keyArr(col("before")))
+            .otherwise(keyArr(col("after"))), 1, "V", histT, col("after"))))
+      .when(col("op") === "D",
+        array(h(keyArr(col("before")), 1, "CD", histT, emptyMap)))
+    val ops = routed.filter(col("op").isin("I", "U", "D"))
+      .select(explode(halves).as("x")).select("x.*")
+
+    // next closer strictly after each row, per key: min struct(ord, t, del)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ord"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val closer = when(col("kind").isin("C", "CD"),
+      struct(col("ord").as("o"), col("t").as("ct"),
+        (col("kind") === "CD").as("cd")))
+    val o = ops.withColumn("nx", min(closer).over(w))
+    val versions = o.filter(col("kind").isin("I", "V")).select(
+      col("key"),
+      when(col("kind") === "I", lit(KVSZ_T0)).otherwise(col("t")).as("kvsz_start"),
+      coalesce(col("nx.ct"), lit(KVSZ_OPEN)).as("kvsz_end"),
+      coalesce(col("nx.cd"), lit(false)).as("kvsz_deleted"),
+      col("after").as("vals"))
+    // first closer per key ends the target's pre-existing open versions
+    val closes = ops.filter(col("kind").isin("C", "CD"))
+      .groupBy(col("key"))
+      .agg(min(struct(col("ord").as("o"), col("t").as("ct"),
+        (col("kind") === "CD").as("cd"))).as("fc"))
+      .select(col("key"), col("fc.ct").as("closeT"), col("fc.cd").as("closeDel"))
+    (versions, closes)
+  }
+
   /** Apply one batch of events in history mode. Same idempotence and
     * routing contract as Replay.applyBatch. */
   def applyBatch(lake: LakeTable, events: Dataset[ChangeEvent],
@@ -112,25 +172,17 @@ object History {
     if (batchId <= snap0.properties.getOrElse("commit-epoch", "-1").toLong) return false
     val schema = snap0.schema
     val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
-    val payloadCols = schema.fieldNames.filterNot(_.startsWith("kvsz_")).toSeq
 
     val routed = events.filter(Replay.routeCond(mapping))
-    val ops = routed.flatMap(e => normalize(e, mergeKey))
-    val results = ops.groupByKey(_.key).mapGroups((k, it) => foldKey(k, it))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (results.isEmpty) {
+    locally {
+      val dmlCount = routed.filter(col("op").isin("I", "U", "D")).limit(1).count()
+      if (dmlCount == 0) {
         lake.commit(Nil, Set.empty, properties = Map("commit-epoch" -> batchId.toString))
         return true
       }
 
-      // new version rows
-      val newRows = results.flatMap { r =>
-        r.versions.map { case (s, e, del, vals) =>
-          (r.key, s, e, del, vals)
-        }
-      }.toDF("key", "kvsz_start", "kvsz_end", "kvsz_deleted", "vals")
-      val newTyped = newRows.select(schema.fields.map { f =>
+      val (versions, closes0) = foldDF(routed.toDF(), mergeKey)
+      val newTyped = versions.select(schema.fields.map { f =>
         f.name match {
           case "kvsz_start" => col("kvsz_start").cast(TimestampType).as(f.name)
           case "kvsz_end" => col("kvsz_end").cast(TimestampType).as(f.name)
@@ -141,20 +193,18 @@ object History {
         }
       }.toIndexedSeq: _*)
 
-      // close instructions for pre-existing open versions
-      val closes = results.filter(_.closeT != null)
-        .map(r => (r.key, r.closeT, r.closeDeleted))
-        .toDF("key", "closeT", "closeDel")
-      val cdf = closes.select(
+      val cdf = closes0.select(
         (mergeKey.zipWithIndex.map { case (c, i) =>
           element_at(col("key"), i + 1).cast(schema(c).dataType).as(s"__k_$c")
         } ++ Seq(col("closeT").cast(TimestampType).as("__closeT"),
           col("closeDel").as("__closeDel"))): _*)
 
-      val allKeysB = results.toDF().select(
-        mergeKey.zipWithIndex.map { case (c, i) =>
-          element_at(col("key"), i + 1).cast(schema(c).dataType).as(s"__k_$c")
-        }: _*)
+      val allKeysB = versions.select(col("key"))
+        .unionAll(closes0.select(col("key"))).distinct()
+        .select(
+          mergeKey.zipWithIndex.map { case (c, i) =>
+            element_at(col("key"), i + 1).cast(schema(c).dataType).as(s"__k_$c")
+          }: _*)
       val bucketOf = pmod(xxhash64(snap0.bucketCols.map(c => col(s"__k_$c")): _*),
         lit(snap0.numBuckets))
       val touched = allKeysB.select(bucketOf.cast("int").as("b"))
@@ -194,6 +244,6 @@ object History {
             snap0.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
         lineage = lin)
       true
-    } finally results.unpersist()
+    }
   }
 }
