@@ -48,59 +48,6 @@ object History {
     t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
   }
 
-  /** History op kinds: I = open version @1900; C = close opens (deleted
-    * false); CD = close opens (deleted true); V = new open version @t. */
-  final case class HOp(key: Seq[String], ord: Long, kind: String,
-                       t: String, after: Map[String, String])
-
-  def normalize(ev: ChangeEvent, mergeKey: Seq[String]): Seq[HOp] = {
-    def keyOf(m: Map[String, String]): Seq[String] =
-      mergeKey.map(c => if (c == "sid") ev.sid else m.getOrElse(c, null))
-    val ord = (ev.lsn << 20) | (ev.seq.toLong << 2)
-    val t = histTime(ev.lsn, ev.seq)
-    ev.op match {
-      case "I" => Seq(HOp(keyOf(ev.after), ord | 1, "I", KVSZ_T0, ev.after))
-      case "U" if ev.old_kind == "K" => Seq(
-        HOp(keyOf(ev.before), ord, "C", t, Map.empty),
-        HOp(keyOf(ev.after), ord | 1, "V", t, ev.after))
-      case "U" =>
-        val k = if (ev.old_kind == "O") keyOf(ev.before) else keyOf(ev.after)
-        Seq(HOp(k, ord, "C", t, Map.empty), HOp(k, ord | 1, "V", t, ev.after))
-      case "D" => Seq(HOp(keyOf(ev.before), ord | 1, "CD", t, Map.empty))
-      case _ => Nil
-    }
-  }
-
-  /** One new version row (values + validity interval), plus per key the
-    * close instruction for the target's pre-existing open versions: the
-    * FIRST close-kind event in the batch ends them. */
-  final case class KeyResult(key: Seq[String],
-                             versions: Seq[(String, String, Boolean, Map[String, String])],
-                             closeT: String, closeDeleted: Boolean)
-
-  def foldKey(key: Seq[String], ops: Iterator[HOp]): KeyResult = {
-    val sorted = ops.toArray.sortBy(_.ord)
-    // open versions created in-batch: index into buf
-    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Boolean, Map[String, String])]()
-    val open = scala.collection.mutable.ArrayBuffer[Int]()
-    var closeT: String = null
-    var closeDeleted = false
-    def closeAll(t: String, del: Boolean): Unit = {
-      open.foreach { i => val v = buf(i); buf(i) = (v._1, t, del || v._3, v._4) }
-      open.clear()
-      if (closeT == null) { closeT = t; closeDeleted = del }
-    }
-    sorted.foreach { o =>
-      o.kind match {
-        case "I" => buf += ((KVSZ_T0, KVSZ_OPEN, false, o.after)); open += buf.size - 1
-        case "C" => closeAll(o.t, del = false)
-        case "CD" => closeAll(o.t, del = true)
-        case "V" => buf += ((o.t, KVSZ_OPEN, false, o.after)); open += buf.size - 1
-      }
-    }
-    KeyResult(key, buf.toSeq, closeT, closeDeleted)
-  }
-
   /** Catalyst-native batch fold (the twin of Replay.foldToXfDF for SCD2):
     * normalize events to HOp rows via expressions, then one key-partitioned
     * ordered window finds each version's next closer (its kvsz_end /
