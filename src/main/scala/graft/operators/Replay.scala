@@ -14,15 +14,21 @@ import org.apache.spark.sql.types._
   *
   *   mode filter (W4) -> row filter / column transform (P1, P2; the CEL
   *   analog as Catalyst `expr`) -> key extraction + PK-update normalization
-  *   (R2) -> salted local fold + per-key compose (Xf algebra; replaces the
-  *   per-table single-worker ordering, `streamer/worker.go:106-108`) ->
-  *   bucket-pruned merge join against the lake table (W1-W3) -> atomic
-  *   snapshot commit carrying epoch + LSN watermark + lineage (A1).
+  *   (R2) -> per-key fold to one row-state transformer (Xf algebra;
+  *   replaces the per-table single-worker ordering,
+  *   `streamer/worker.go:106-108`) -> bucket-pruned merge join against the
+  *   lake table (W1-W3) -> atomic snapshot commit carrying epoch + LSN
+  *   watermark + lineage (A1).
   *
+  * Two equivalent fold strategies (cross-validated by tests + oracle):
+  *   - [[foldToXfDF]] (default, salts = 0): the fold decomposed into
+  *     per-column conditional aggregates — whole-stage codegen, map-side
+  *     partial combine (the pre-merge local reduce for hot keys);
+  *   - [[foldToXf]] (salts >= 1): the typed Xf fold with explicit
+  *     contiguous-ord-range salting — the algebraic reference path.
   * The per-key Xf transformer is bit-equivalent to the reference's
   * sequential apply (see XfSpec), so last-write-wins convergence holds
-  * under any partitioning; hot conversations are tamed by the
-  * lsn-range-salted two-phase reduce.
+  * under any partitioning.
   */
 object Replay {
 
