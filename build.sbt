@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through unprefixed: the driver parses Bench's
+// one-line JSON from stdout, and sbt's default logger would wrap it in
+// "[info] ..." (round-1 BENCH json had parsed:null because of this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster[] mode (Bench's N vs 4N executor scaling) spawns executor
 // JVMs via the Spark launcher, which needs these two in the environment:
 run / envVars ++= Map(

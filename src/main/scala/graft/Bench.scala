@@ -13,18 +13,27 @@ import org.apache.spark.sql.SparkSession
   * CDC log — measured at two CLUSTER SIZES on the SAME on-disk input, per
   * the north rule's N -> 4N executor protocol:
   *
-  *   local-cluster[1,4,m]  (1 executor JVM x 4 cores)   vs
-  *   local-cluster[4,4,m]  (4 executor JVMs x 4 cores)
+  *   local-cluster[1,C,m]  (1 executor JVM x C cores)   vs
+  *   local-cluster[4,C,m]  (4 executor JVMs x C cores)
   *
   *   efficiency = eps(4N) / (4 * eps(N))
   *
   * local-cluster spawns REAL separate executor JVMs (the closest sandbox
   * analog of spark-submit against a standalone cluster): each executor has
-  * its own heap/GC, so allocation-heavy stages contend per-executor as on
-  * a genuine cluster, not inside one shared 32-thread heap. Falls back to
-  * local[4]/local[16] when no Spark distribution is present. The two
-  * levels are interleaved and min-per-level is reported (this host is a
-  * shared VM with ~±30% run-to-run noise).
+  * its own heap/GC. All executors still share ONE VM's memory bus, which
+  * caps allocation-heavy scaling at ~0.68 when 4N saturates 16 of the 32
+  * host cores (control measurements in BASELINE.md); C defaults to 2 so
+  * the 4N level (8 cores) leaves host headroom — on a real 4-node cluster
+  * each node brings its own memory subsystem, which is what this protocol
+  * approximates. Falls back to local[C]/local[4C] when no Spark
+  * distribution is present.
+  *
+  * Measurement protocol (this host shows ±30% run-to-run wall-time noise):
+  * levels are interleaved, >= 2 runs per level by default, min per level
+  * is reported plus all raw samples. Each timed session first verifies
+  * that the REQUESTED number of executors actually registered
+  * (statusTracker poll; one session retry) and the seen counts are
+  * recorded in the JSON — a degraded level is visible, not silent.
   *
   * Also times every SparkEntry query suite entry at SPARK_GRAFT_SF_DIR
   * (local[32]).
@@ -34,11 +43,11 @@ object Bench {
   private val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
   private val haveDistro = new java.io.File(s"$sparkHome/jars").isDirectory
 
-  private def clusterMaster(executors: Int, coresPerExec: Int): String =
-    if (haveDistro) s"local-cluster[$executors,$coresPerExec,8192]"
+  private def clusterMaster(executors: Int, coresPerExec: Int, memMb: Int): String =
+    if (haveDistro) s"local-cluster[$executors,$coresPerExec,$memMb]"
     else s"local[${executors * coresPerExec}]"
 
-  private def session(master: String, parallelism: Int): SparkSession = {
+  private def session(master: String, parallelism: Int, execMem: String): SparkSession = {
     val s = SparkSession.builder()
       .master(master)
       .appName(s"graft-bench-$parallelism")
@@ -48,10 +57,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", classOf[graft.lake.BareLocalFileSystem].getName)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.memory", "6g") // worker caps at 8192m; default 1g OOMs on multi-M-event batches
+      .config("spark.executor.memory", execMem) // default 1g OOMs on multi-M-event batches
+      // micro-batch cadence: a 3s locality wait per stage stalls small
+      // stages on the executor that cached the previous batch's blocks
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Block until `expected` executors registered (driver excluded), up to
+    * `timeoutSec`. Returns the executor count actually seen. In
+    * local-cluster mode statusTracker lists the driver too, so the target
+    * is expected + 1. */
+  private def awaitExecutors(s: SparkSession, expected: Int,
+                             timeoutSec: Int = 90): Int = {
+    val tracker = s.sparkContext.statusTracker
+    val target = expected + 1
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    var seen = tracker.getExecutorInfos.length
+    while (seen < target && System.nanoTime() < deadline) {
+      Thread.sleep(500)
+      seen = tracker.getExecutorInfos.length
+    }
+    math.max(0, seen - 1)
   }
 
   /** Replay the `nBatches` pre-materialized WAL segments into a fresh lake
@@ -74,18 +103,22 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // defaults sized so a full driver-run finishes in ~8 min; raise
-    // SPARK_GRAFT_BENCH_EVENTS/RUNS for tighter (min-of-2) measurements
-    val events = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "12000000").toLong
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "400000").toLong
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
-    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "4").toInt
-    val salts = 8
-    val coresPerExec = 4
+    // defaults sized so a full driver run finishes in ~8 min with 2
+    // interleaved runs per level; see .claude/skills/verify/SKILL.md
+    val events = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "300000").toLong
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "2").toInt
+    // salts=0 = the shipped default (Catalyst fold, map-side combine);
+    // the typed ord-range-salted fold is benchable via GRAFT_SALTS>=1
+    val salts = sys.env.getOrElse("GRAFT_SALTS", "0").toInt
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2").toInt
+    val execMem = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_MEM", "6g")
+    val workerMemMb = sys.env.getOrElse("SPARK_GRAFT_BENCH_WORKER_MB", "8192").toInt
     val loExec = 1
     val hiExec = 4
-    val loMaster = clusterMaster(loExec, coresPerExec)
-    val hiMaster = clusterMaster(hiExec, coresPerExec)
+    val loMaster = clusterMaster(loExec, coresPerExec, workerMemMb)
+    val hiMaster = clusterMaster(hiExec, coresPerExec, workerMemMb)
 
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val cfg = Gen.Config(numEvents = events,
@@ -96,39 +129,66 @@ object Bench {
 
     // materialize the shared input once (excluded from timing)
     locally {
-      val s = session("local[32]", 32)
+      val s = session("local[32]", 32, execMem)
       Gen.writeLog(s, cfg, s"$work/wal", nBatches, filesPerSegment = 32)
       Gen.writeLog(s, wcfg, s"$work/wal-warm", nBatches, filesPerSegment = 32)
       s.stop()
     }
 
     var runId = 0
-    def measured(master: String, parallelism: Int): Double = {
-      val s = session(master, parallelism)
-      try {
-        runId += 1
-        replay(s, s"$work/wal-warm", nBatches, s"$work/warm-$parallelism-$runId", salts) // JIT warmup
-        replay(s, s"$work/wal", nBatches, s"$work/t-$parallelism-$runId", salts)
-      } finally s.stop()
+    val execSeen = scala.collection.mutable.Map[String, Int]()
+    /** One timed run at `master`; retries once with a fresh session if the
+      * requested executor count never registers (the round-1 failure mode:
+      * a silently under-provisioned level). */
+    def measured(level: String, master: String, execs: Int): Double = {
+      val isCluster = master.startsWith("local-cluster")
+      var attempt = 0
+      var result = -1.0
+      while (result < 0) {
+        attempt += 1
+        val s = session(master, execs * coresPerExec, execMem)
+        val seen = if (isCluster) awaitExecutors(s, execs) else execs
+        if (seen < execs && attempt < 3) {
+          System.err.println(s"[bench] $master: only $seen/$execs executors " +
+            s"registered (attempt $attempt) — recreating session")
+          s.stop()
+          Thread.sleep(2000)
+        } else {
+          execSeen(level) = seen
+          try {
+            runId += 1
+            replay(s, s"$work/wal-warm", nBatches, s"$work/warm-$level-$runId", salts) // JIT warmup
+            result = replay(s, s"$work/wal", nBatches, s"$work/t-$level-$runId", salts)
+          } finally s.stop()
+        }
+      }
+      result
     }
 
     val samples = (1 to runs).flatMap(_ => Seq(
-      "hi" -> measured(hiMaster, hiExec * coresPerExec),
-      "lo" -> measured(loMaster, loExec * coresPerExec)))
-    val tLo = samples.collect { case ("lo", t) => t }.min
-    val tHi = samples.collect { case ("hi", t) => t }.min
+      "hi" -> measured("hi", hiMaster, hiExec),
+      "lo" -> measured("lo", loMaster, loExec)))
+    val losRaw = samples.collect { case ("lo", t) => t }
+    val hisRaw = samples.collect { case ("hi", t) => t }
+    val tLo = losRaw.min
+    val tHi = hisRaw.min
     val epsLo = events / tLo
     val epsHi = events / tHi
     val eff = epsHi / (4.0 * epsLo)
 
     // per-query suite timings on the driver-designated sf dir
-    val s = session("local[32]", 32)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    s.stop()
+    val queries =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")) Nil
+      else {
+        val s = session("local[32]", 32, execMem)
+        val qs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(s, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        s.stop()
+        qs
+      }
 
     // best-effort cleanup of local-cluster executor log dirs
     try {
@@ -143,7 +203,14 @@ object Bench {
 
     val qs = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"cdc_replay_events_per_sec","value":${epsHi.round},"unit":"events/sec","queries":$qs,"sf":"$sfDir","scaling":{"events":$events,"executors_lo":$loExec,"executors_hi":$hiExec,"cores_per_executor":$coresPerExec,"master_lo":"$loMaster","master_hi":"$hiMaster","sec_lo":${f"$tLo%.2f"},"sec_hi":${f"$tHi%.2f"},"eps_lo":${epsLo.round},"eps_hi":${epsHi.round},"efficiency":${f"$eff%.3f"}},"query_suite_total_sec":${f"${queries.map(_._2).sum}%.2f"}}""")
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"cdc_replay_events_per_sec","value":${epsHi.round},"unit":"events/sec","queries":$qs,"sf":"$sfDir","scaling":{"events":$events,"batches":$nBatches,"salts":$salts,"runs_per_level":$runs,"executors_lo":$loExec,"executors_hi":$hiExec,"cores_per_executor":$coresPerExec,"executors_seen_lo":${execSeen.getOrElse("lo", loExec)},"executors_seen_hi":${execSeen.getOrElse("hi", hiExec)},"master_lo":"$loMaster","master_hi":"$hiMaster","samples_sec_lo":${arr(losRaw)},"samples_sec_hi":${arr(hisRaw)},"sec_lo":${f"$tLo%.2f"},"sec_hi":${f"$tHi%.2f"},"eps_lo":${epsLo.round},"eps_hi":${epsHi.round},"efficiency":${f"$eff%.3f"}},"query_suite_total_sec":${f"${queries.map(_._2).sum}%.2f"}}"""
+    println(json)
+    // belt-and-braces: also land the line in a file, in case a logger
+    // prefixes stdout in some future harness
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => }
   }
 }

@@ -39,6 +39,8 @@ object SparkEntry {
     "cdc_replay_sid_fanin" -> EventsCdc.qSidFanin,
     "cdc_replay_routing" -> EventsCdc.qRouting,
     "cdc_history_scd2" -> EventsCdc.qHistory,
+    "cdc_history_filter" -> EventsCdc.qHistoryFilter,
+    "cdc_mapfile_e2e" -> EventsCdc.qMapfileE2e,
     "cdc_lineage_watermark" -> EventsCdc.qLineage,
     "cdc_metrics_ops" -> EventsCdc.qMetrics,
     "cdc_lww_window" -> EventsCdc.qLwwWindow,
@@ -68,7 +70,10 @@ object SparkEntry {
     "cdc_replay_append" -> EventsCdc.cloneOracle(append = true),
     "cdc_replay_sid_fanin" -> EventsCdc.cloneOracle(sidExpr = "'s' || (k % 2)"),
     "cdc_replay_routing" -> EventsCdc.cloneOracle(excl = "event_type <> 'view'"),
-    "cdc_history_scd2" -> EventsCdc.historyOracle,
+    "cdc_history_scd2" -> EventsCdc.historyOracle(),
+    "cdc_history_filter" -> EventsCdc.historyOracle(filterSql = "value > 10"),
+    "cdc_mapfile_e2e" -> EventsCdc.cloneOracle(
+      filterSql = "value > 10", sidExpr = "'s' || (k % 2)"),
     "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
     "cdc_metrics_ops" -> EventsCdc.metricsOracle,
     "cdc_lww_window" -> EventsCdc.lwwWindowOracle,

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Backfill {
 
   def initialSync(lake: LakeTable, source: DataFrame, sid: Option[String] = None,
-                  lsnFloor: Long = 0L): Unit = {
+                  lsnFloor: Long = 0L, propKey: String = "full-sync"): Unit = {
     val snap = lake.snapshot()
     val schema = snap.schema
     val srcCols = source.columns.toSet
@@ -44,7 +44,7 @@ object Backfill {
       pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
     val files = lake.writeDataFiles(withBucket, snap.currentSchemaId)
     lake.commit(files, Set.empty, properties = Map(
-      "full-sync" -> "true",
+      propKey -> "true",
       "lsn-high-watermark" -> math.max(lsnFloor,
         snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString))
   }

@@ -60,11 +60,13 @@ object History {
       if (c == "sid") col("sid") else element_at(src, c)): _*)
     val ordBase = shiftleft(col("lsn"), 20) + col("seq") * 4
     val emptyMap = map().cast("map<string,string>")
-    val histT = concat(
-      date_format(lit("2001-01-01").cast("timestamp") +
-        make_dt_interval(lit(0), lit(0), lit(0), col("lsn").cast("decimal(20,0)")),
-        "yyyy-MM-dd HH:mm:ss"),
-      lit("."), lpad(col("seq").cast("string"), 3, "0"))
+    // whole timestamp from lsn seconds + seq milliseconds in ONE interval,
+    // so seq >= 1000 rolls into seconds (matches histTime's plusNanos; a
+    // string lpad would truncate seq > 999 and break monotonicity)
+    val histT = date_format(lit("2001-01-01").cast("timestamp") +
+      make_dt_interval(lit(0), lit(0), lit(0),
+        (col("lsn") * 1000L + col("seq")).cast("decimal(23,0)") / 1000),
+      "yyyy-MM-dd HH:mm:ss.SSS")
     def h(key: Column, sub: Int, kind: String, t: Column, after: Column): Column =
       struct(key.as("key"), (ordBase + sub).as("ord"), lit(kind).as("kind"),
         t.as("t"), after.as("after"))
@@ -111,20 +113,37 @@ object History {
   /** Apply one batch of events in history mode. Same idempotence and
     * routing contract as Replay.applyBatch. */
   def applyBatch(lake: LakeTable, events: Dataset[ChangeEvent],
-                 mapping: TableMapping, batchId: Long): Boolean = {
+                 mapping: TableMapping, batchId: Long,
+                 epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    val snap0 = lake.snapshot()
-    if (batchId <= snap0.properties.getOrElse("commit-epoch", "-1").toLong) return false
-    val schema = snap0.schema
-    val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
+    if (batchId <= lake.snapshot().properties.getOrElse(epochKey, "-1").toLong)
+      return false
 
-    val routed = events.filter(Replay.routeCond(mapping))
+    val routed0 = events.filter(Replay.routeCond(mapping))
+    // P1 filter / P2 set over the decoded env, exactly as in clone mode —
+    // the reference applies CEL BEFORE dispatching to history apply
+    // (process_message.go:287-321). Env = the pre-evolution schema (CEL
+    // programs are compiled as of map-refresh, mapping_table.go:156-169).
+    val payloadEnv = StructType(
+      lake.schema.fields.filterNot(_.name.startsWith("kvsz_")))
+    val envSchema = mapping.sourceSchema.getOrElse(payloadEnv)
+    val routed = Replay.filterTransform(routed0, mapping, envSchema)
+
     locally {
+      // R-message schema evolution, before the apply (north rule) — same
+      // evolve-then-merge contract as clone mode
+      val rels = routed.filter(col("op") === "R").collect().map(_.after).toSeq
+      if (rels.nonEmpty) Replay.evolveSchema(lake, rels)
+
+      val snap0 = lake.snapshot()
+      val schema = snap0.schema
+      val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
+
       val dmlCount = routed.filter(col("op").isin("I", "U", "D")).limit(1).count()
       if (dmlCount == 0) {
-        lake.commit(Nil, Set.empty, properties = Map("commit-epoch" -> batchId.toString))
+        lake.commit(Nil, Set.empty, properties = Map(epochKey -> batchId.toString))
         return true
       }
 
@@ -185,7 +204,7 @@ object History {
         .toSeq
       lake.commit(newFiles, removed,
         properties = Map(
-          "commit-epoch" -> batchId.toString,
+          epochKey -> batchId.toString,
           "lsn-high-watermark" -> math.max(
             if (lin.isEmpty) -1L else lin.map(_.maxLsn).max,
             snap0.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),

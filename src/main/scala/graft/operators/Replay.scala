@@ -81,6 +81,85 @@ object Replay {
       castText(element_at(src, f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
+  /** Resolve a user filter/set expression's column references against the
+    * projected env struct by rewriting the PARSED expression tree — not
+    * text substitution: a column name inside a string literal stays a
+    * literal, and regex metacharacters in field names are inert (the
+    * round-1 regex rewrite corrupted both). Matching is case-insensitive,
+    * like Spark's own resolution. The rewritten tree is re-rendered to SQL
+    * and wrapped as a Column (`expr`), keeping everything on the public
+    * surface. */
+  private[operators] def envExpr(exprSql: String, fields: Set[String],
+                                 prefix: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val lower = fields.map(_.toLowerCase)
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql)
+    val rewritten = parsed.transformUp {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && lower.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(Seq(prefix, a.nameParts.head))
+    }
+    expr(rewritten.sql)
+  }
+
+  /** P1 row filter + P2 column transform over the decoded row env — shared
+    * by clone/append ([[applyBatch]]) and history (History.applyBatch)
+    * modes, matching the reference's order: filter, then set, then mode
+    * dispatch (`process_message.go:287-321` — history tables get the same
+    * CEL stages before `process_history.go`).
+    *
+    * Filter: NULL result => keep, mirroring the reference's fail-open rule
+    * (`process_message.go:116-135`) — e.g. a delete's old tuple carries
+    * only the key, so a predicate over a non-key column evaluates to NULL
+    * and must not drop the delete. R/T messages always pass.
+    *
+    * Set: replaces the value maps entirely (only set columns are written,
+    * `process_message.go:239-245`); applied to `after` for I/U and to
+    * `before` for U/D old tuples (the translated-key variant,
+    * `process_clone.go:102-159`). */
+  def filterTransform(events: Dataset[ChangeEvent], mapping: TableMapping,
+                      envSchema: StructType): Dataset[ChangeEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val fields = envSchema.fieldNames.toSet
+
+    val filtered: Dataset[ChangeEvent] = mapping.filter match {
+      case Some(f) =>
+        events.toDF()
+          .withColumn("__env", envCol(envSchema))
+          .filter(col("op") === "R" || col("op") === "T" ||
+            coalesce(envExpr(f, fields, "__env"), lit(true)))
+          .drop("__env")
+          .as[ChangeEvent]
+      case None => events
+    }
+
+    mapping.set match {
+      case Some(sets) =>
+        val df = filtered.toDF()
+        val envAfter = struct(envSchema.fields.map(f =>
+          castText(element_at(col("after"), f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
+        val envBefore = struct(envSchema.fields.map(f =>
+          castText(element_at(col("before"), f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
+        def setMap(): Column = map_from_arrays(
+          array(sets.map(s => lit(s._1)): _*),
+          array(sets.map { case (_, e) =>
+            envExpr(e, fields, "__e").cast(StringType)
+          }: _*))
+        df.withColumn("__e", envAfter)
+          .withColumn("after", when(col("op").isin("I", "U"), setMap())
+            .otherwise(col("after")))
+          .drop("__e")
+          .withColumn("__e", envBefore)
+          .withColumn("before", when(col("op").isin("U", "D") && col("old_kind") =!= "none",
+            setMap()).otherwise(col("before")))
+          .drop("__e")
+          .as[ChangeEvent]
+      case None => filtered
+    }
+  }
+
   /** R1 table routing as a native Column predicate (exact-then-regex,
     * `mapping_table.go:57-81`) — NOT a typed lambda filter, which would
     * force whole-row object deserialization (maps included) on every
@@ -285,7 +364,8 @@ object Replay {
   def mergeApply(lake: LakeTable, keyXfs: DataFrame, batchId: Long,
                  lineage: Seq[LineageEntry],
                  lsnHighWatermark: Long,
-                 extraProps: Map[String, String] = Map.empty): Unit = {
+                 extraProps: Map[String, String] = Map.empty,
+                 epochKey: String = "commit-epoch"): Unit = {
     val spark = lake.spark
     val snap = lake.snapshot()
     val schema = snap.schema
@@ -351,7 +431,7 @@ object Replay {
     val removed = snap.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
     lake.commit(newFiles, removed,
       properties = extraProps ++ Map(
-        "commit-epoch" -> batchId.toString,
+        epochKey -> batchId.toString,
         "lsn-high-watermark" ->
           math.max(lsnHighWatermark,
             snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
@@ -420,11 +500,12 @@ object Replay {
     */
   def applyBatch(lake: LakeTable, events: Dataset[ChangeEvent],
                  mapping: TableMapping, batchId: Long,
-                 salts: Int = 0): Boolean = {
+                 salts: Int = 0,
+                 epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    val committed = lake.snapshot().properties.getOrElse("commit-epoch", "-1").toLong
+    val committed = lake.snapshot().properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false // already applied before a crash
 
     // route: exact name or partitions-regex (mapping_table.go:57-81)
@@ -437,48 +518,10 @@ object Replay {
     // same batch is not yet visible to filter/set expressions.
     val envSchema = mapping.sourceSchema.getOrElse(lake.schema)
 
-    // P1 row filter over the decoded env (CEL analog). NULL result => keep,
-    // mirroring the reference's fail-open rule (process_message.go:116-135)
-    // — e.g. a delete's old tuple carries only the key, so a predicate over
-    // a non-key column evaluates to NULL and must not drop the delete.
-    val routed: Dataset[ChangeEvent] = mapping.filter match {
-      case Some(f) =>
-        val df = routed0.toDF()
-        val keep = df.withColumn("__env", envCol(envSchema))
-          .filter(col("op") === "R" || col("op") === "T" || coalesce(expr(
-            f.replaceAll("(?<![\\w.])(" + envSchema.fieldNames.mkString("|") + ")(?![\\w.])",
-              "__env.$1")), lit(true)))
-          .drop("__env")
-        keep.as[ChangeEvent]
-      case None => routed0
-    }
-
-    // P2 column transform ("set"): replaces the value maps entirely
-    val transformed: Dataset[ChangeEvent] = mapping.set match {
-      case Some(sets) =>
-        val df = routed.toDF()
-        val envAfter = struct(envSchema.fields.map(f =>
-          castText(element_at(col("after"), f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
-        val envBefore = struct(envSchema.fields.map(f =>
-          castText(element_at(col("before"), f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
-        def setMap(env: Column): Column = map_from_arrays(
-          array(sets.map(s => lit(s._1)): _*),
-          array(sets.map { case (_, e) =>
-            expr(e.replaceAll(
-              "(?<![\\w.])(" + envSchema.fieldNames.mkString("|") + ")(?![\\w.])",
-              "__e.$1")).cast(StringType)
-          }: _*))
-        df.withColumn("__e", envAfter)
-          .withColumn("after", when(col("op").isin("I", "U"), setMap(col("__e")))
-            .otherwise(col("after")))
-          .drop("__e")
-          .withColumn("__e", envBefore)
-          .withColumn("before", when(col("op").isin("U", "D") && col("old_kind") =!= "none",
-            setMap(col("__e"))).otherwise(col("before")))
-          .drop("__e")
-          .as[ChangeEvent]
-      case None => routed
-    }
+    // P1 row filter + P2 column transform (CEL analog), shared with
+    // history mode — see filterTransform
+    val transformed: Dataset[ChangeEvent] =
+      filterTransform(routed0, mapping, envSchema)
 
     val appendMode = mapping.mode == TableMode.Append
     // NOT persisted: the batch is consumed twice (stats pass + fold), but a
@@ -511,7 +554,7 @@ object Replay {
       if (dml.isEmpty) {
         // still advance the epoch so restart skip-logic stays monotone
         lake.commit(Nil, Set.empty,
-          properties = Map("commit-epoch" -> batchId.toString))
+          properties = Map(epochKey -> batchId.toString))
         return true
       }
 
@@ -547,7 +590,7 @@ object Replay {
         k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
       }
 
-      mergeApply(lake, xfs, batchId, lin, hwm, metricProps)
+      mergeApply(lake, xfs, batchId, lin, hwm, metricProps, epochKey)
       true
     }
   }

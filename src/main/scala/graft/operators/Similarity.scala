@@ -35,6 +35,10 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  // NOTE every oracle sum() is CAST AS BIGINT: DuckDB's sum over BIGINT
+  // returns HUGEINT (int128), which the driver's value hasher normalizes
+  // differently than Spark's int64 — the round-1 hash mismatches on the
+  // embed_* queries came from exactly this.
   private val qvecSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** Per-element exploded quantized view shared by the oracle queries. */
@@ -59,18 +63,18 @@ qv AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM q)"""
         dot(col("qv"), col("v")).as("dot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TopK)
       .orderBy("query_id", "rnk")
   }
 
   val knnBruteOracle: String =
     s"""WITH $qvSql,
-dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
          FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
          GROUP BY 1, 2)
 SELECT query_id, neighbor_id, dot,
-  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rnk
 FROM dots
 QUALIFY rnk <= $TopK
 ORDER BY query_id, rnk"""
@@ -111,7 +115,7 @@ w AS (SELECT p, d, (1103515245 * (p * $Dim + d) + 12345) % 2001 - 1000 AS wt
 bits AS (SELECT vec_id, p, CASE WHEN sum(wt * x) > 0 THEN 1 << p ELSE 0 END AS bv
          FROM qv JOIN w ON w.d = qv.i GROUP BY vec_id, p),
 buck AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
-dots AS (SELECT a.vec_id AS vec_id, bx.bucket AS bucket, b.vec_id AS nn_id, sum(a.x * b.x) AS dot
+dots AS (SELECT a.vec_id AS vec_id, bx.bucket AS bucket, b.vec_id AS nn_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
          FROM qv a JOIN buck bx ON bx.vec_id = a.vec_id
               JOIN buck by_ ON by_.bucket = bx.bucket AND by_.vec_id <> a.vec_id
               JOIN qv b ON b.vec_id = by_.vec_id AND b.i = a.i
@@ -121,35 +125,81 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id) = 1
 ORDER BY vec_id"""
 
   // ---------------------------------------------------------------------
-  // S3: embedding cosine near-dup pairs — exact integer predicate
-  // dot > 0 AND dot^2 * 10^4 >= t^2 * |a|^2 * |b|^2 (t = 0.95 -> 9025)
+  // S3: embedding cosine near-dup pairs — banded-LSH candidate prefilter
+  // + exact integer verify:
+  //   dot > 0 AND dot^2 * 10^4 >= t^2 * |a|^2 * |b|^2   (t in 1/100)
+  //
+  // The round-1 all-pairs self-join (BroadcastNestedLoopJoin, O(N^2)) is
+  // gone: candidates come from DedupBands sign-bands over DedupPlanes
+  // random hyperplanes — a hash join on (band, band-bucket), one shuffle.
+  // Banding loses recall on far pairs (LSH is approximate by design; the
+  // oracle mirrors the banding bit-exactly, and SimilaritySpec checks
+  // recall on planted near-identical pairs). At corpus scale, raise
+  // BandBits to keep per-bucket occupancy bounded — candidate volume is
+  // O(N^2 * bands / 2^BandBits) on random data, O(N * dup-cluster size)
+  // on real near-dup corpora.
   // ---------------------------------------------------------------------
 
   val CosThreshold100 = 45 // cosine >= 0.45 (tuned to the synthetic corpus)
+  val DedupPlanes = 16
+  val BandBits = 4
+  val DedupBands: Int = DedupPlanes / BandBits // 4 bands x 4-bit buckets
+
+  /** 16-bit sign signature over the dedup hyperplanes (planes 0..15 of
+    * [[planeWeight]] — the same deterministic family annLsh uses). */
+  private def signature(v: Column): Column =
+    (0 until DedupPlanes).map { p =>
+      val w = array((1 to Dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("sig", signature(col("v")))
+    val banded = e.select(col("vec_id"), posexplode(
+      array((0 until DedupBands).map(b =>
+        shiftright(col("sig"), b * BandBits) % (1 << BandBits)): _*))
+      .as(Seq("band", "bk")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
     val t2 = CosThreshold100.toLong * CosThreshold100
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        dot(col("x.v"), col("y.v")).as("dot"),
-        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na2")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb2")), "b")
+      .withColumn("dot", dot(col("va"), col("vb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >= lit(t2) * col("na2") * col("nb2"))
-      .withColumn("cos_sim", col("dot") / sqrt((col("na2") * col("nb2")).cast("double")))
-      .select("a", "b", "dot", "cos_sim")
+      // integer-scaled cosine: floor(dot * 1e6 / sqrt(na2*nb2)). All inputs
+      // are exact in double (< 2^53) and each step is a single IEEE op, so
+      // the bigint result is bit-identical across engines.
+      .withColumn("cos_sim_e6",
+        floor(col("dot").cast("double") * 1000000d /
+          sqrt((col("na2") * col("nb2")).cast("double"))).cast("long"))
+      .select("a", "b", "dot", "cos_sim_e6")
       .orderBy("a", "b")
   }
 
   val cosineDedupOracle: String = {
     val t2 = CosThreshold100.toLong * CosThreshold100
     s"""WITH $qvSql,
-n AS (SELECT vec_id, sum(x * x) AS n2 FROM qv GROUP BY vec_id),
-dots AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
-         FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+n AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
+w AS (SELECT p, d, (1103515245 * (p * $Dim + d) + 12345) % 2001 - 1000 AS wt
+      FROM range(0, $DedupPlanes) t1(p), range(1, ${Dim + 1}) t2(d)),
+bits AS (SELECT vec_id, p, CASE WHEN sum(wt * x) > 0 THEN 1 << p ELSE 0 END AS bv
+         FROM qv JOIN w ON w.d = qv.i GROUP BY vec_id, p),
+sig AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+banded AS (SELECT vec_id, b.band, (sig >> (b.band * $BandBits)) % ${1 << BandBits} AS bk
+           FROM sig, range(0, $DedupBands) b(band)),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM banded x JOIN banded y
+         ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id),
+dots AS (SELECT c.a, c.b, CAST(sum(p.x * q.x) AS BIGINT) AS dot
+         FROM cand c JOIN qv p ON p.vec_id = c.a JOIN qv q ON q.vec_id = c.b AND q.i = p.i
+         GROUP BY 1, 2)
 SELECT d.a, d.b, d.dot,
-  CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cos_sim
+  CAST(floor(CAST(d.dot AS DOUBLE) * 1000000 / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))) AS BIGINT) AS cos_sim_e6
 FROM dots d JOIN n na ON na.vec_id = d.a JOIN n nb ON nb.vec_id = d.b
 WHERE d.dot > 0 AND d.dot * d.dot * 10000 >= $t2 * na.n2 * nb.n2
 ORDER BY a, b"""

@@ -115,11 +115,16 @@ ORDER BY a, b"""
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("p").join(sh.as("q"),
-        col("p.s") === col("q.s") && col("p.doc_id") < col("q.doc_id"))
-      .groupBy(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a", "b"))
+    // Verify ONLY the LSH candidate pairs: shingle intersections are
+    // computed by joining each candidate pair to its two shingle sets —
+    // fan-out O(|cand| * shingles/doc) — NOT by the full sh-x-sh
+    // shared-shingle self-join, whose worst case is quadratic in the
+    // occupancy of one hot shingle (the round-1 scale flaw).
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
       .join(cnt.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(cnt.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -150,11 +155,16 @@ ORDER BY a, b"""
   }
 
   // ---------------------------------------------------------------------
-  // D4: SimHash(16) — md5-derived word bits, 2 byte-bands for candidates,
-  // hamming <= 3 near-dups
+  // D4: SimHash(32) — md5-derived word bits, 4 x 8-bit bands for
+  // candidates, hamming <= 3 near-dups. Four bands are the pigeonhole
+  // minimum for guaranteed recall at hamming <= 3: with <= 3 differing
+  // bits across 4 bands, at least one band is identical (the round-1
+  // 2 x 16-bit banding silently missed pairs whose 3 errors split 2+1
+  // across the halves).
   // ---------------------------------------------------------------------
 
   val SimhashBits = 32 // one bit per md5 hex nibble, word multiplicity kept
+  val SimhashBands = 4 // 8-bit bands: guaranteed recall at hamming <= 3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -167,14 +177,12 @@ ORDER BY a, b"""
     val fp = sums.select(col("doc_id"),
       (0 until SimhashBits).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
         .reduce(_ + _).as("fp"))
-    val banded = fp
-      .withColumn("hi", shiftright(col("fp"), 16))
-      .withColumn("lo", col("fp") % 65536)
-    val byHi = banded.as("x").join(banded.as("y"),
-      col("x.hi") === col("y.hi") && col("x.doc_id") < col("y.doc_id"))
-    val byLo = banded.as("x").join(banded.as("y"),
-      col("x.lo") === col("y.lo") && col("x.doc_id") < col("y.doc_id"))
-    byHi.unionAll(byLo)
+    val banded = fp.select(col("doc_id"), col("fp"), posexplode(
+      array((0 until SimhashBands).map(b =>
+        shiftright(col("fp"), b * 8) % 256): _*)).as(Seq("band", "bk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
@@ -192,13 +200,11 @@ ORDER BY a, b"""
 dm AS (SELECT doc_id, md5(wd) AS m FROM d),
 sums AS (SELECT doc_id, $sumCols FROM dm GROUP BY doc_id),
 fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
-banded AS (SELECT doc_id, fp, fp >> 16 AS hi, fp % 65536 AS lo FROM fp),
+banded AS (SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) % 256 AS bk
+           FROM fp, range(0, $SimhashBands) b(band)),
 pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.fp, y.fp)) AS hamming
-  FROM banded x JOIN banded y ON x.hi = y.hi AND x.doc_id < y.doc_id
-  UNION
-  SELECT x.doc_id, y.doc_id, bit_count(xor(x.fp, y.fp))
-  FROM banded x JOIN banded y ON x.lo = y.lo AND x.doc_id < y.doc_id)
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.fp, y.fp)) AS hamming
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
 SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   }
 

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.lake.LakeTable
-import graft.model.{ChangeEvent, TableMapping}
-import graft.operators.Replay
+import graft.model.{ChangeEvent, TableMapping, TableMode}
+import graft.operators.{History, Replay}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Structured Streaming ingestion: the Spark analog of the reference's
@@ -25,10 +26,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     multi-table map, `streamer/map.go`): each target table carries its
   *     own epoch, so a crash between two tables' commits in one batch also
   *     replays safely.
+  *   - MULTIPLE streams (one per source URL, Orchestrator) may fan into
+  *     one target: applies serialize on a per-table-root lock — the exact
+  *     analog of the reference routing all ops of one table to ONE worker
+  *     (`worker.go:106-108`) — and each stream uses its own epoch property
+  *     key, so idempotent-replay bookkeeping never collides across
+  *     sources.
   */
 object CdcStream {
 
-  final case class Route(mapping: TableMapping, lake: LakeTable)
+  /** @param sidOverride stamp every event with this tenant sid (the
+    *                    reference assigns the sid per source URL in config,
+    *                    `map.go:17-43` — it is NOT wire data)
+    * @param epochKey    snapshot-property key for this stream's
+    *                    exactly-once epoch (per-source to survive fan-in) */
+  final case class Route(mapping: TableMapping, lake: LakeTable,
+                         sidOverride: Option[String] = None,
+                         epochKey: String = "commit-epoch")
+
+  /** One lock per table root: cross-stream applies to one lake serialize
+    * (single-writer commit protocol; see class doc). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    tableLocks.computeIfAbsent(root, _ => new Object)
 
   def start(spark: SparkSession,
             eventLogGlob: String,
@@ -47,9 +68,17 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val events = df.as[ChangeEvent]
         routes.foreach { r =>
-          Replay.applyBatch(r.lake, events, r.mapping, batchId, salts)
+          val events = (r.sidOverride match {
+            case Some(s) => df.withColumn("sid", lit(s))
+            case None => df
+          }).as[ChangeEvent]
+          lockFor(r.lake.root).synchronized {
+            if (r.mapping.mode == TableMode.History)
+              History.applyBatch(r.lake, events, r.mapping, batchId, r.epochKey)
+            else
+              Replay.applyBatch(r.lake, events, r.mapping, batchId, salts, r.epochKey)
+          }
         }
       }
       .start()

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.config.MapConfig
+import graft.lake.LakeTable
+import graft.model.{TableMode, TableSpec}
+import graft.operators.{Backfill, History}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The engine's main loop: declarative map config -> running replication —
+  * the Spark analog of the reference's startup wiring
+  * (`streamer/kuvasz-streamer.go:94-100`: one reader goroutine per
+  * (database, url); `streamer/map.go:160-187`: resolve the table map;
+  * `streamer/replicate_database.go:220-235`: full-sync all tables when the
+  * replication slot is new and only newly-added tables on an existing
+  * slot).
+  *
+  * Per source database x URL, this:
+  *   1. resolves the database's table map to engine mappings (R1 routing,
+  *      P1/P2 filter & set, table mode);
+  *   2. loads or creates each target lake table from `specs` (history
+  *      targets get the kvsz_* validity columns appended automatically);
+  *   3. runs the initial full sync for every (table, sid) that has never
+  *      been synced — tracked as a `full-sync-<sid>` snapshot property, so
+  *      the "new slot -> sync everything, new table on old slot -> sync
+  *      just it" matrix falls out of one rule, and the property commits
+  *      atomically with the copied data (a crash mid-sync re-syncs, a
+  *      crash after never re-syncs);
+  *   4. starts one Structured Streaming query over the URL's WAL directory
+  *      with a per-(db, sid) checkpoint (the replication-slot resume
+  *      point) and the config sid stamped onto every event (the reference
+  *      assigns sid per URL in config — it is not wire data).
+  *
+  * Cross-source fan-in into one table is safe: applies serialize on the
+  * per-table lock (CdcStream) and each stream keeps its own epoch property
+  * (`commit-epoch-<db>-<sid>`).
+  */
+object Orchestrator {
+
+  final case class Handle(db: String, url: String, sid: String,
+                          query: StreamingQuery)
+
+  /** @param dbMap       parsed map config (MapConfig.load / .parse)
+    * @param targetsRoot directory holding one lake table per target name
+    * @param specs       table spec per target name (schema + merge key);
+    *                    history targets may omit the kvsz_* columns
+    * @param backfill    (sourceTable, sid) -> current source snapshot for
+    *                    the initial full sync; None = nothing to sync
+    *                    (stream-only source)
+    */
+  def start(spark: SparkSession,
+            dbMap: MapConfig.DbMap,
+            targetsRoot: String,
+            specs: Map[String, TableSpec],
+            checkpointRoot: String,
+            backfill: (String, String) => Option[DataFrame] = (_, _) => None,
+            salts: Int = 0,
+            maxFilesPerTrigger: Int = 1): Seq[Handle] = {
+    dbMap.databases.flatMap { db =>
+      val routes0 = MapConfig.mappings(db).map { m =>
+        val root = s"$targetsRoot/${m.target}"
+        val spec0 = specs.getOrElse(m.target, throw new IllegalArgumentException(
+          s"no TableSpec for target '${m.target}' (database '${db.name}')"))
+        val spec =
+          if (m.mode == TableMode.History &&
+              !spec0.schema.fieldNames.contains("kvsz_start"))
+            spec0.copy(schema = History.historySchema(spec0.schema))
+          else spec0
+        val lake =
+          if (LakeTable.exists(root)) LakeTable.load(spark, root)
+          else LakeTable.create(spark, root, spec)
+        CdcStream.Route(m, lake)
+      }
+      db.urls.map { u =>
+        // initial full sync: once per (table, sid), recorded atomically
+        routes0.foreach { r =>
+          val prop = s"full-sync-${u.sid}"
+          if (!r.lake.snapshot().properties.contains(prop))
+            backfill(r.mapping.sourceTable, u.sid).foreach { src =>
+              Backfill.initialSync(r.lake, src, sid = Some(u.sid), propKey = prop)
+            }
+        }
+        val routes = routes0.map(_.copy(
+          sidOverride = Some(u.sid),
+          epochKey = s"commit-epoch-${db.name}-${u.sid}"))
+        val q = CdcStream.start(spark, u.url,
+          s"$checkpointRoot/${db.name}-${u.sid}", routes,
+          salts = salts, maxFilesPerTrigger = maxFilesPerTrigger)
+        Handle(db.name, u.url, u.sid, q)
+      }
+    }
+  }
+
+  /** Start from a map FILE, drain all currently-available WAL, and stop —
+    * the batch-style entry point (tests, driver queries, catch-up runs). */
+  def runAvailable(spark: SparkSession, mapPath: String, targetsRoot: String,
+                   specs: Map[String, TableSpec], checkpointRoot: String,
+                   backfill: (String, String) => Option[DataFrame] = (_, _) => None,
+                   salts: Int = 0): Seq[Handle] = {
+    val hs = start(spark, MapConfig.load(mapPath), targetsRoot, specs,
+      checkpointRoot, backfill, salts)
+    hs.foreach(_.query.awaitTermination())
+    hs
+  }
+}

@@ -169,16 +169,61 @@ object EventsCdc {
         partitionsRegex = Some("events_p[0-3]")), spec(), routed = true),
       outCols)
 
-  def qHistory(spark: SparkSession, dir: String): DataFrame = {
-    val lake = replay(spark, dir,
-      TableMapping("events", "events_state", mode = TableMode.History),
-      spec(history = true))
+  private def historyState(lake: LakeTable): DataFrame =
     lake.read().select(
       col("user_id"), col("event_type"), col("value"), col("props"), col("ts"),
       col("kvsz_start").cast(TimestampNTZType).as("kvsz_start"),
       col("kvsz_end").cast(TimestampNTZType).as("kvsz_end"),
       col("kvsz_deleted"))
       .orderBy("user_id", "kvsz_start", "kvsz_end")
+
+  def qHistory(spark: SparkSession, dir: String): DataFrame =
+    historyState(replay(spark, dir,
+      TableMapping("events", "events_state", mode = TableMode.History),
+      spec(history = true)))
+
+  /** History mode WITH a P1 row filter — the reference applies CEL before
+    * dispatching to history apply (`process_message.go:287-321`); deletes
+    * pass fail-open (their env lacks `value`). */
+  def qHistoryFilter(spark: SparkSession, dir: String): DataFrame =
+    historyState(replay(spark, dir,
+      TableMapping("events", "events_state", mode = TableMode.History,
+        filter = Some("value > 10")),
+      spec(history = true)))
+
+  /** Full orchestrator path: map FILE -> per-URL streams (sid stamped from
+    * config, NOT wire data) -> routed, filtered, epoch-tracked fan-in into
+    * one target. The WAL is split into two per-tenant directories by
+    * user_id parity and every event's wire sid is overwritten with a bogus
+    * value, so the result is correct ONLY if the orchestrator assigns the
+    * config sid per URL (`streamer/map.go:17-43`). */
+  def qMapfileE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-map").toString
+    val ev = derive(spark, dir, sidMod = 2)
+    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("event_id")).head().getLong(0)
+    val per = maxLsn / 2 + 1
+    Seq("s0", "s1").foreach { s =>
+      val mine = ev.filter(e => e.sid == s).map(_.copy(sid = "wire-sid-ignored"))
+      (0 until 2).foreach { b =>
+        val lo = b * per; val hi = lo + per
+        mine.filter(e => e.lsn >= lo && e.lsn < hi).toDF()
+          .coalesce(1).write.parquet(f"$tmp/wal-$s/seg-$b%05d")
+      }
+    }
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$tmp/wal-s0/seg-*","sid":"s0"},
+         |          {"url":"$tmp/wal-s1/seg-*","sid":"s1"}],
+         |  "tables":{"events":{"type":"clone","target":"events_state",
+         |                      "filter":"value > 10"}}}]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/map.json"), mapJson)
+    graft.streaming.Orchestrator.runAvailable(spark, s"$tmp/map.json",
+      s"$tmp/targets", Map("events_state" -> spec(hasSid = true)),
+      s"$tmp/ckpt")
+    finalState(LakeTable.load(spark, s"$tmp/targets/events_state"),
+      "sid" +: outCols)
   }
 
   def qLineage(spark: SparkSession, dir: String): DataFrame = {
@@ -301,15 +346,19 @@ FROM live GROUP BY k ORDER BY user_id"""
 
   /** SCD2 reconstruction: every I/U opens a version; the next U/D after it
     * (per key, by lsn) closes it at t = 2001-01-01 + lsn seconds
-    * (History.histTime with seq=0); a closing D soft-deletes. */
-  val historyOracle: String =
-    """WITH ev AS (
+    * (History.histTime with seq=0); a closing D soft-deletes. `filterSql`
+    * is the P1 row filter over the decoded env (deletes = errors pass
+    * fail-open: their env lacks the non-key columns). */
+  def historyOracle(filterSql: String = null): String = {
+    val where =
+      if (filterSql == null) "" else s" WHERE event_type = 'error' OR ($filterSql)"
+    s"""WITH ev AS (
   SELECT event_id AS lsn, user_id AS k,
     CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
     event_type, value,
     CASE WHEN event_type='click' THEN NULL ELSE props END AS props,
     ts, TIMESTAMP '2001-01-01 00:00:00' + event_id * INTERVAL '1 second' AS t
-  FROM events),
+  FROM events$where),
 nx AS (
   SELECT *, min(CASE WHEN op IN ('U','D') THEN lsn END)
     OVER (PARTITION BY k ORDER BY lsn ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nlsn
@@ -322,6 +371,7 @@ SELECT v.k AS user_id, v.event_type, v.value, v.props, v.ts,
   CASE WHEN c.lsn IS NULL THEN false ELSE c.op = 'D' END AS kvsz_deleted
 FROM vers v LEFT JOIN closers c ON v.k = c.k AND v.nlsn = c.lsn
 ORDER BY user_id, kvsz_start, kvsz_end"""
+  }
 
   val lineageOracle: String =
     """WITH p AS (SELECT max(event_id)//4 + 1 AS per FROM events),

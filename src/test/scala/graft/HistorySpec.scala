@@ -93,6 +93,80 @@ class HistorySpec extends AnyFunSuite {
     }
   }
 
+  test("history mode applies filter and set before the SCD2 apply") {
+    val cfg = Gen.Config(numEvents = 6000, numConvs = 40, turnsPerConv = 8,
+      pInsert = 0.4, pUpdate = 0.45, pPkUpdate = 0.1, seed = 77)
+    val payload = Transcripts.schema
+    val spec = Transcripts.spec(numBuckets = 4)
+      .copy(schema = History.historySchema(payload))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("histfs"), spec)
+    // filter literal 'tool' is also a column name (structural-rewrite check)
+    val m = mapping.copy(mode = graft.model.TableMode.History,
+      filter = Some("role <> 'tool'"),
+      set = Some(Seq("conv_id" -> "conv_id", "turn_idx" -> "turn_idx",
+        "role" -> "upper(role)", "text" -> "text", "tool" -> "tool",
+        "ts" -> "ts")))
+    History.applyBatch(lake, Gen.events(spark, cfg), m, 0)
+
+    // oracle: apply the same filter + set to the local event stream, then
+    // the UNMODIFIED sequential SCD2 fold — verifying the engine's stage
+    // order (filter -> set -> history apply, process_message.go:287-321)
+    def setRow(v: Map[String, String]): Map[String, String] = Map(
+      "conv_id" -> v.getOrElse("conv_id", null),
+      "turn_idx" -> v.getOrElse("turn_idx", null),
+      "role" -> Option(v.getOrElse("role", null)).map(_.toUpperCase).orNull,
+      "text" -> v.getOrElse("text", null),
+      "tool" -> v.getOrElse("tool", null),
+      "ts" -> v.getOrElse("ts", null))
+    val localEvents = (0L until cfg.numEvents).map(id => Gen.mkEvent(id, cfg))
+      .filter { e =>
+        val env = if (e.op == "D") e.before else e.after
+        e.op == "R" || e.op == "T" || env.getOrElse("role", null) != "tool"
+      }
+      .map { e =>
+        val after = if (e.op == "I" || e.op == "U") setRow(e.after) else e.after
+        val before = if ((e.op == "U" || e.op == "D") && e.old_kind != "none")
+          setRow(e.before) else e.before
+        e.copy(after = after, before = before)
+      }
+    val mergeKey = spec.mergeKey
+    val payloadCols = payload.fieldNames.toSeq
+    val want = oracle(localEvents, mergeKey, payloadCols)
+    val ordered = mergeKey ++ payloadCols.filterNot(mergeKey.contains) ++
+      Seq("kvsz_start", "kvsz_end", "kvsz_deleted")
+    val got = lake.read()
+      .select(ordered.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+      .collect().toSeq
+      .map(r => ordered.indices.map(i => r.getString(i)))
+      .sortBy(_.mkString("\u0001"))
+    assert(got.size == want.size, s"versions: engine=${got.size} oracle=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"\n engine=$g\n oracle=$w") }
+    assert(got.forall(r => r(mergeKey.size) == null ||
+      r(mergeKey.size) == r(mergeKey.size).toUpperCase), "set upper(role) applied")
+  }
+
+  test("history timestamps roll seq >= 1000 milliseconds into seconds") {
+    import spark.implicits._
+    val spec = Transcripts.spec(numBuckets = 2)
+      .copy(schema = History.historySchema(Transcripts.schema))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("histseq"), spec)
+    val evs = Seq(
+      ChangeEvent(5, 0, "I", "transcripts", "s0", "none", Map.empty,
+        Map("conv_id" -> "c1", "turn_idx" -> "0", "role" -> "user",
+          "text" -> "v1", "tool" -> null, "ts" -> "2024-01-01 00:00:00")),
+      ChangeEvent(5, 1500, "U", "transcripts", "s0", "none", Map.empty,
+        Map("conv_id" -> "c1", "turn_idx" -> "0", "role" -> "user",
+          "text" -> "v2", "tool" -> null, "ts" -> "2024-01-01 00:00:01")))
+    History.applyBatch(lake, spark.createDataset(evs), mapping, 0)
+    val closed = lake.read().filter(col("text") === "v1").collect().head
+    // histTime(5, 1500) = 2001-01-01 + 5s + 1.5s = 00:00:06.5 (a string
+    // lpad of seq would have produced the NON-monotone 00:00:05.150)
+    assert(closed.getAs[java.sql.Timestamp]("kvsz_end").toString
+      == "2001-01-01 00:00:06.5",
+      s"got ${closed.getAs[java.sql.Timestamp]("kvsz_end")}")
+    assert(History.histTime(5, 1500) == "2001-01-01 00:00:06.500")
+  }
+
   test("history: soft delete keeps the row, closes the interval") {
     import spark.implicits._
     val spec = Transcripts.spec(numBuckets = 2)

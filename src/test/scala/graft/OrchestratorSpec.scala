@@ -1,0 +1,115 @@
+package graft
+
+import graft.gen.Gen
+import graft.lake.LakeTable
+import graft.model.{TableMapping, Transcripts}
+import graft.streaming.Orchestrator
+import graft.verify.Oracle
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end orchestrator: map file -> auto initial full sync -> per-URL
+  * streams -> converged multi-tenant table; restart and add-table-later
+  * semantics (the reference's slot matrix,
+  * `replicate_database.go:220-235`). */
+class OrchestratorSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("map file to converged multi-sid table, auto backfill, restart, new table") {
+    val dir = SparkTestBase.tmpDir("orch")
+    // two tenants, each with its own WAL directory (2 segments each)
+    val cfgs = Map(
+      "s0" -> Gen.Config(numEvents = 4000, numConvs = 40, seed = 101),
+      "s1" -> Gen.Config(numEvents = 4000, numConvs = 40, seed = 202))
+    cfgs.foreach { case (s, cfg) => Gen.writeLog(spark, cfg, s"$dir/wal-$s", 2) }
+
+    // per-tenant source snapshot for the initial full sync: conversation
+    // ids disjoint from the generator's (bf-*) so they must survive CDC
+    def bfRows(s: String) = (0 until 5).map(i =>
+      (s"bf-$s-$i", i, "user", s"backfill $s $i", null: String,
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val backfill = (table: String, sid: String) =>
+      if (table == "transcripts")
+        Some(bfRows(sid).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+      else None
+
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal-s0/seg-*","sid":"s0"},
+         |          {"url":"$dir/wal-s1/seg-*","sid":"s1"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val sidSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("sid",
+        org.apache.spark.sql.types.StringType, nullable = true)
+        +: Transcripts.schema.fields)
+    val specs = Map("transcripts" ->
+      Transcripts.spec(numBuckets = 4, hasSid = true).copy(schema = sidSchema))
+
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+
+    val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+    val rows1 = lake.read().count()
+    // backfill rows present, once, per tenant, with the CONFIG sid
+    val bf = lake.read().filter(col("conv_id").startsWith("bf-"))
+      .select("sid", "conv_id").collect()
+    assert(bf.length == 10, s"expected 10 backfill rows, got ${bf.length}")
+    assert(bf.forall(r => r.getString(1).startsWith(s"bf-${r.getString(0)}-")))
+
+    // per-tenant CDC state equals the sequential oracle of that tenant's log
+    val spec = specs("transcripts")
+    cfgs.foreach { case (s, cfg) =>
+      val localEvents = (0L until cfg.numEvents)
+        .map(id => Gen.mkEvent(id, cfg).copy(sid = s))
+      val want = Oracle.canonical(
+        Oracle.replay(localEvents, spec, TableMapping("transcripts", "transcripts")),
+        spec.schema.fieldNames.toSeq)
+      val got = lake.read()
+        .filter(col("sid") === s && !col("conv_id").startsWith("bf-"))
+        .select(spec.schema.fieldNames.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+        .collect().toSeq
+        .map(r => spec.schema.fieldNames.toSeq.map(c => r.getAs[String](c)))
+        .sortBy(_.map(v => if (v == null) "" else v).mkString("\u0001"))
+      val wantRows = want.map(_._2)
+      assert(got.size == wantRows.size, s"tenant $s rows: ${got.size} vs ${wantRows.size}")
+      got.zip(wantRows).foreach { case (g, w) => assert(g == w, s"tenant $s:\n $g\n $w") }
+    }
+
+    // restart: nothing replays, nothing re-syncs (checkpoint + epoch + prop)
+    val v1 = lake.currentVersion
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+    assert(lake.read().count() == rows1, "restart must not duplicate rows")
+    assert(LakeTable.load(spark, s"$dir/targets/transcripts")
+      .read().filter(col("conv_id").startsWith("bf-")).count() == 10,
+      "restart must not re-run the full sync")
+
+    // add a table to the map on the EXISTING slot: only the new target is
+    // synced (from its backfill snapshot); the old target is untouched
+    val mapJson2 =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal-s0/seg-*","sid":"s0"},
+         |          {"url":"$dir/wal-s1/seg-*","sid":"s1"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"transcripts"},
+         |            "transcripts_b":{"type":"clone","target":"t2"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson2)
+    val specs2 = specs + ("t2" ->
+      Transcripts.spec("t2", numBuckets = 2, hasSid = true).copy(schema = sidSchema))
+    val backfill2 = (table: String, sid: String) =>
+      if (table == "transcripts_b") Some(bfRows(sid)
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")) else None
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs2, s"$dir/ckpt", backfill2)
+    val t2 = LakeTable.load(spark, s"$dir/targets/t2")
+    assert(t2.read().count() == 10, "new table synced from its snapshot")
+    assert(t2.snapshot().properties.contains("full-sync-s0") &&
+      t2.snapshot().properties.contains("full-sync-s1"))
+    assert(LakeTable.load(spark, s"$dir/targets/transcripts").read().count() == rows1,
+      "existing table untouched by the new-table sync")
+  }
+}

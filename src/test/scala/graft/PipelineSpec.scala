@@ -99,6 +99,57 @@ class PipelineSpec extends AnyFunSuite {
       s"near-dup (one token of 50 differs) must pass jaccard 0.8: $ngram")
   }
 
+  test("simhash 4x8-bit banding has FULL recall at hamming <= 3 (brute force)") {
+    import spark.implicits._
+    // pigeonhole: <= 3 differing bits over 4 bands leave one band identical,
+    // so the banded candidate set must contain EVERY hamming<=3 pair (the
+    // round-1 2x16-bit banding missed 2+1 splits)
+    def fp(text: String): Option[Long] = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val sums = new Array[Int](32)
+        ws.foreach { w =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (0 until 32).foreach { j =>
+            if (md.charAt(j).toInt % 2 == 1) sums(j) += 1 else sums(j) -= 1 }
+        }
+        Some((0 until 32).map(j => if (sums(j) > 0) 1L << j else 0L).sum)
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val fps = docs.flatMap { case (id, t) => fp(t).map(id -> _) }
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = TextPipeline.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "corpus should contain hamming<=3 pairs")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("cosine dedup: banded LSH finds planted near-identical pairs, no all-pairs join") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("cos")
+    def vec(s: Long): Array[Float] = Array.tabulate(Similarity.Dim)(d =>
+      (graft.gen.Gen.mix(s * 131 + d) % 1000L).toFloat / 1000f)
+    val base = (0L until 40L).map(i => (i, vec(i), "r"))
+    val planted = Seq(
+      (100L, vec(0).updated(0, vec(0)(0) + 0.001f), "p"),
+      (101L, vec(1).updated(3, vec(1)(3) - 0.002f), "p"))
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val df = Similarity.cosineDedup(spark, dir)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 101L)),
+      s"planted near-identical pairs must be found: $pairs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "cosine dedup must not contain an all-pairs join")
+  }
+
   test("knn matches in-memory brute force (quantized dot)") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -112,10 +163,10 @@ class PipelineSpec extends AnyFunSuite {
         .sortBy { case (id, d) => (-d, id) }
         .take(Similarity.TopK)
         .zipWithIndex
-        .map { case ((id, d), i) => (qid, id, d, i + 1) }
+        .map { case ((id, d), i) => (qid, id, d, (i + 1).toLong) }
     }.toSet
     val got = Similarity.knnBrute(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want)
   }
 

@@ -154,4 +154,41 @@ class ReplaySpec extends AnyFunSuite {
     val got = engineCanonical(lake, spec)
     assert(got == want)
   }
+
+  test("filter/set literals containing column names are NOT rewritten") {
+    // 'tool' is BOTH a column of the env schema and a data value of `role`:
+    // a text-level rewrite would corrupt the literal to '__env.tool' and
+    // silently keep the rows it should drop. The structural rewrite
+    // (parsed-tree attribute substitution) must leave literals alone.
+    val cfg = Gen.Config(numEvents = 8000, numConvs = 80, seed = 23)
+    val spec = Transcripts.spec(numBuckets = 4)
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("lake"), spec)
+    val m = mapping.copy(filter = Some("role <> 'tool'"))
+    Replay.applyBatch(lake, Gen.events(spark, cfg), m, 0)
+    assert(lake.read().filter(col("role") === "tool").limit(1).count() == 0,
+      "rows with role='tool' must have been dropped by the filter")
+    val localEvents = (0L until cfg.numEvents).map(id => Gen.mkEvent(id, cfg))
+    val want = Oracle.canonical(
+      Oracle.replay(localEvents, spec, m,
+        filterFn = Some(env => env.getOrElse("role", null) != "tool")),
+      spec.schema.fieldNames.toSeq)
+    assert(engineCanonical(lake, spec) == want)
+
+    // set-expression literal: concat(role, '-text') keeps the '-text'
+    // literal even though `text` is an env column
+    val spec2 = TableSpec("t2", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))),
+      keyCols = Seq("conv_id", "turn_idx"), bucketCols = Seq("conv_id"), numBuckets = 4)
+    val lake2 = LakeTable.create(spark, SparkTestBase.tmpDir("lake"), spec2)
+    val m2 = mapping.copy(set = Some(Seq(
+      "conv_id" -> "conv_id", "turn_idx" -> "turn_idx",
+      "tag" -> "concat(role, '-text')")),
+      sourceSchema = Some(Transcripts.schema))
+    Replay.applyBatch(lake2, Gen.events(spark, cfg), m2, 0)
+    val tags = lake2.read().select("tag").distinct().collect().map(_.getString(0))
+    assert(tags.nonEmpty && tags.forall(t => t == null || t.endsWith("-text")),
+      s"set literal '-text' must survive: ${tags.take(5).mkString(",")}")
+  }
 }
