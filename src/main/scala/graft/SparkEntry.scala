@@ -43,6 +43,8 @@ object SparkEntry {
     "cdc_mapfile_e2e" -> EventsCdc.qMapfileE2e,
     "cdc_lineage_watermark" -> EventsCdc.qLineage,
     "cdc_metrics_ops" -> EventsCdc.qMetrics,
+    "cdc_metrics_batches" -> EventsCdc.qMetricsBatches,
+    "cdc_drift_deletemiss" -> EventsCdc.qDriftDeleteMiss,
     "cdc_lww_window" -> EventsCdc.qLwwWindow,
     "cdc_toast_lastnonnull" -> EventsCdc.qToastLastNonNull,
     // --- training-data pipeline: dedup / text analysis (documents) ---
@@ -76,6 +78,8 @@ object SparkEntry {
       filterSql = "value > 10", sidExpr = "'s' || (k % 2)"),
     "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
     "cdc_metrics_ops" -> EventsCdc.metricsOracle,
+    "cdc_metrics_batches" -> EventsCdc.metricsBatchesOracle,
+    "cdc_drift_deletemiss" -> EventsCdc.driftDeleteMissOracle,
     "cdc_lww_window" -> EventsCdc.lwwWindowOracle,
     "cdc_toast_lastnonnull" -> EventsCdc.toastOracle,
     "dedup_exact" -> TextPipeline.dedupExactOracle,

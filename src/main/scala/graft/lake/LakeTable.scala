@@ -169,6 +169,64 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     next
   }
 
+  /** Expire old snapshots and reclaim their data files — at 10^10-event
+    * scale the copy-on-write merge otherwise accumulates every rewritten
+    * bucket file forever. Keeps the newest `retainVersions` manifests;
+    * deletes (a) expired manifests and (b) every data file on disk that no
+    * RETAINED snapshot references (which also sweeps orphans from crashed
+    * writes — files written but never committed). Time travel within the
+    * retained window keeps working. Caller must not run this concurrently
+    * with a writer on the same table (single-writer protocol, class doc).
+    *
+    * @return (expired manifest count, deleted data file count) */
+  def vacuum(retainVersions: Int = 1): (Int, Int) = {
+    val keepN = math.max(1, retainVersions)
+    val versions = listVersions
+    val keep = versions.takeRight(keepN)
+    val expire = versions.dropRight(keepN)
+    val referenced: Set[String] =
+      keep.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val deleted = Files.list(dataDir).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => referenced.contains(p.toString))
+      .toSeq
+    deleted.foreach(Files.deleteIfExists(_))
+    expire.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%020d.json")))
+    (expire.size, deleted.size)
+  }
+
+  // -- per-batch metrics sidecar (A3) --------------------------------------
+  // One JSONL file per applied batch under <root>/_metrics (the analog of
+  // the reference's Prometheus counters keyed (db, sid, table, op, result),
+  // `streamer/metrics.go:11-53`). Written by NAME before the snapshot
+  // commit, so a crashed-and-replayed batch overwrites its own file —
+  // idempotent, never double-counted.
+
+  val metricsSchema: StructType = StructType.fromDDL(
+    "batch_id BIGINT, sid STRING, kind STRING, key STRING, value BIGINT")
+
+  def writeMetrics(name: String,
+                   rows: Seq[(Long, String, String, String, Long)]): Unit = {
+    val dir = Paths.get(root, "_metrics")
+    Files.createDirectories(dir)
+    val lines = rows.map { case (b, sid, kind, key, v) =>
+      s"""{"batch_id":$b,"sid":${if (sid == null) "null" else "\"" + sid + "\""},"kind":"$kind","key":"$key","value":$v}"""
+    }
+    val tmp = dir.resolve(s".tmp-$name")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"$name.jsonl"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The per-batch metrics table (empty if no batch wrote metrics yet). */
+  def metrics(): DataFrame = {
+    val dir = Paths.get(root, "_metrics")
+    if (!Files.isDirectory(dir))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        metricsSchema)
+    else spark.read.schema(metricsSchema).json(dir.toString)
+  }
+
   private def writeManifest(s: Snapshot): Unit = {
     Files.createDirectories(metaDir)
     val target = metaDir.resolve(f"v${s.version}%020d.json")

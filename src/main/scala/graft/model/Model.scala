@@ -85,9 +85,17 @@ final case class TableMapping(
     // target schema doubles as the env (source == target layout).
     sourceSchema: Option[org.apache.spark.sql.types.StructType] = None
 ) {
-  /** Exact-then-regex match, mirroring `streamer/mapping_table.go:57-81`. */
+  /** Exact-then-regex match, mirroring `streamer/mapping_table.go:57-81`;
+    * exact names are schema-qualified with default schema `public`
+    * (`streamer/metadata.go:37-50`). */
   def matches(table: String): Boolean =
-    table == sourceTable || partitionsRegex.exists(r => table.matches(r))
+    TableMapping.qualify(table) == TableMapping.qualify(sourceTable) ||
+      partitionsRegex.exists(r => table.matches(r))
+}
+
+object TableMapping {
+  /** `name` -> `public.name`; already-qualified names pass through. */
+  def qualify(t: String): String = if (t.contains(".")) t else s"public.$t"
 }
 
 /** Target lake-table descriptor. Spark has no primary-key metadata, so the

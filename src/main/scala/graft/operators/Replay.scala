@@ -164,11 +164,21 @@ object Replay {
     * `mapping_table.go:57-81`) — NOT a typed lambda filter, which would
     * force whole-row object deserialization (maps included) on every
     * downstream pass and defeat parquet column pruning. `String.matches`
-    * is a full match, so the regex is anchored. */
+    * is a full match, so the regex is anchored.
+    *
+    * Exact matching is schema-qualified with default schema `public`
+    * (`metadata.go:37-50`, `71-schema.robot`): a bare name on either side
+    * means `public.<name>`, so mapping "events" routes "public.events"
+    * and mapping "audit.events" does NOT route bare "events". The
+    * partitions regex applies to the raw wire name (physical partition
+    * names). */
   def routeCond(mapping: TableMapping): Column = {
-    val exact = col("source_table") === lit(mapping.sourceTable)
+    val ev = col("source_table")
+    val evQualified = when(ev.contains("."), ev)
+      .otherwise(concat(lit("public."), ev))
+    val exact = evQualified === lit(TableMapping.qualify(mapping.sourceTable))
     mapping.partitionsRegex.fold(exact)(r =>
-      exact || regexp_like(col("source_table"), lit(s"^(?:$r)$$")))
+      exact || regexp_like(ev, lit(s"^(?:$r)$$")))
   }
 
   // ---------------------------------------------------------------------
@@ -365,7 +375,8 @@ object Replay {
                  lineage: Seq[LineageEntry],
                  lsnHighWatermark: Long,
                  extraProps: Map[String, String] = Map.empty,
-                 epochKey: String = "commit-epoch"): Unit = {
+                 epochKey: String = "commit-epoch",
+                 metricsRows: Seq[(Long, String, String, String, Long)] = Nil): Map[String, Long] = {
     val spark = lake.spark
     val snap = lake.snapshot()
     val schema = snap.schema
@@ -396,9 +407,27 @@ object Replay {
     val x = xdf.alias("x")
     val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c"))
       .reduce(_ && _)
-    val joined = t.join(x, joinCond, "full_outer")
+    val joined0 = t.join(x, joinCond, "full_outer")
 
     val tExists = mergeKey.map(c => col(s"t.$c").isNotNull).reduce(_ || _)
+
+    // Merge-outcome counters observed ON the join itself (CollectMetrics —
+    // no extra pass over the data). `delete_miss` is the reference's drift
+    // alarm: a DELETE whose key is absent on the target
+    // (`process_clone.go:306-311` logs + counts it); here it is the
+    // batch-level analog — a per-key fold whose net effect is delete,
+    // applied to a key the target does not have.
+    val xn = col("x.presentKind").isNull
+    val toAbsent = col("x.presentKind") === lit(Xf.TO_ABSENT)
+    def cnt(cond: Column): Column =
+      sum(when(!xn && cond, 1L).otherwise(0L))
+    val obs = org.apache.spark.sql.Observation(s"graft-merge-$batchId")
+    val joined = joined0.observe(obs,
+      cnt(!tExists && col("x.absentExists")).as("inserted"),
+      cnt(tExists && !toAbsent).as("updated"),
+      cnt(tExists && toAbsent).as("deleted"),
+      cnt(!tExists && !col("x.absentExists") && toAbsent).as("delete_miss"),
+      cnt(!tExists && !col("x.absentExists") && !toAbsent).as("update_miss"))
     val xNull = col("x.presentKind").isNull
     val exists =
       when(xNull, lit(true)) // untouched row in a touched bucket
@@ -429,13 +458,26 @@ object Replay {
 
     val newFiles = timed("merge+write")(lake.writeDataFiles(withBucket, snap.currentSchemaId))
     val removed = snap.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
+    // the write job ran -> observed merge-outcome counters are available
+    val m = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    // per-batch metrics sidecar, BEFORE the commit: a crash between the
+    // two replays the batch and overwrites the same file (idempotent)
+    lake.writeMetrics(s"$epochKey-$batchId",
+      metricsRows ++ m.toSeq.sortBy(_._1).map { case (k, v) =>
+        (batchId, null: String, "merge", k, v) })
+    // cumulative drift counter rides the same atomic commit (the
+    // reference's delete-affected-0-rows alarm, process_clone.go:306-311)
+    val drift = Map("metrics-delete-miss" ->
+      (snap.properties.getOrElse("metrics-delete-miss", "0").toLong +
+        m.getOrElse("delete_miss", 0L)).toString)
     lake.commit(newFiles, removed,
-      properties = extraProps ++ Map(
+      properties = extraProps ++ drift ++ Map(
         epochKey -> batchId.toString,
         "lsn-high-watermark" ->
           math.max(lsnHighWatermark,
             snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
       lineage = lineage)
+    m
     } finally xdf.unpersist()
   }
 
@@ -590,7 +632,9 @@ object Replay {
         k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
       }
 
-      mergeApply(lake, xfs, batchId, lin, hwm, metricProps, epochKey)
+      val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n) =>
+        (batchId, sid, "op", op, n) }
+      mergeApply(lake, xfs, batchId, lin, hwm, metricProps, epochKey, opRows)
       true
     }
   }

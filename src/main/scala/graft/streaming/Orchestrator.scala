@@ -56,6 +56,7 @@ object Orchestrator {
             backfill: (String, String) => Option[DataFrame] = (_, _) => None,
             salts: Int = 0,
             maxFilesPerTrigger: Int = 1): Seq[Handle] = {
+    ProgressLog.attach(spark)
     dbMap.databases.flatMap { db =>
       val routes0 = MapConfig.mappings(db).map { m =>
         val root = s"$targetsRoot/${m.target}"

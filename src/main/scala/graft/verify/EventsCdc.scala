@@ -244,6 +244,58 @@ object EventsCdc {
     }.toDF("op", "total").orderBy("op")
   }
 
+  /** Per-batch received-op counters from the table's `_metrics` sidecar
+    * (the Prometheus ops_total analog, keyed by batch instead of scrape). */
+  def qMetricsBatches(spark: SparkSession, dir: String): DataFrame = {
+    val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
+    lake.metrics().filter(col("kind") === "op")
+      .groupBy("batch_id", "key").agg(sum("value").as("n"))
+      .withColumnRenamed("key", "op")
+      .orderBy("batch_id", "op")
+  }
+
+  val metricsBatchesOracle: String =
+    """WITH p AS (SELECT max(event_id)//4 + 1 AS per FROM events)
+SELECT event_id // per AS batch_id,
+  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+  count(*) AS n
+FROM events, p GROUP BY 1, 2 ORDER BY batch_id, op"""
+
+  /** Delete-miss drift per batch: the reference's data-integrity alarm — a
+    * DELETE affecting 0 rows (`process_clone.go:306-311`) — surfaced here
+    * as the batch-level fold analog: a per-key net-delete applied to a key
+    * the target does not have. */
+  def qDriftDeleteMiss(spark: SparkSession, dir: String): DataFrame = {
+    val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
+    lake.metrics().filter(col("kind") === "merge" && col("key") === "delete_miss")
+      .select(col("batch_id"), col("value").as("delete_miss"))
+      .orderBy("batch_id")
+  }
+
+  /** Recomputes the engine's batch-level delete-miss rule in SQL: per
+    * (key, batch) the fold is net-delete (has a D, no later I) AND the key
+    * is not live after replaying all prior batches. */
+  val driftDeleteMissOracle: String =
+    """WITH p AS (SELECT max(event_id)//4 + 1 AS per FROM events),
+n AS (SELECT user_id AS k, event_id*2+1 AS ord, event_id // per AS b,
+  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events, p),
+bd AS (SELECT k, b, max(CASE WHEN op='D' THEN ord END) AS dl FROM n GROUP BY 1, 2),
+bfi AS (SELECT n.k, n.b, max(bd.dl) AS dl,
+          min(CASE WHEN n.op='I' AND n.ord > coalesce(bd.dl, -1) THEN n.ord END) AS fi
+        FROM n JOIN bd ON bd.k = n.k AND bd.b = n.b GROUP BY 1, 2),
+miss AS (SELECT f.k, f.b FROM bfi f
+  WHERE f.dl IS NOT NULL AND f.fi IS NULL
+    AND NOT EXISTS (
+      SELECT 1 FROM n i
+      WHERE i.k = f.k AND i.b < f.b AND i.op = 'I'
+        AND i.ord > coalesce((SELECT max(d.ord) FROM n d
+                              WHERE d.k = f.k AND d.b < f.b AND d.op = 'D'), -1))),
+ma AS (SELECT b, count(*) AS dm FROM miss GROUP BY b)
+SELECT ab.b AS batch_id, coalesce(ma.dm, 0) AS delete_miss
+FROM (SELECT DISTINCT b FROM n) ab LEFT JOIN ma ON ma.b = ab.b
+ORDER BY batch_id"""
+
   /** Pure window LWW dedup (gap-table op): keep the max-LSN event per key —
     * `max_by` shape, no lake involved. */
   def qLwwWindow(spark: SparkSession, dir: String): DataFrame =

@@ -69,6 +69,28 @@ class CoverageSpec extends AnyFunSuite {
     assert(after.head.getString(2) == "a2")
   }
 
+  test("schema-qualified routing: default schema public (71-schema analog)") {
+    import spark.implicits._
+    import graft.operators.Replay
+    import org.apache.spark.sql.functions.col
+    def hit(mappingTable: String, eventTable: String): Boolean = {
+      val m = TableMapping(mappingTable, "t")
+      val ev = ChangeEvent(1, 0, "I", eventTable, "s0", "none", Map.empty,
+        Map("conv_id" -> "c", "turn_idx" -> "0"))
+      val viaColumn = spark.createDataset(Seq(ev)).toDF()
+        .filter(Replay.routeCond(m)).count() == 1
+      assert(viaColumn == m.matches(eventTable),
+        s"Column predicate and matches() disagree for $mappingTable vs $eventTable")
+      viaColumn
+    }
+    assert(hit("events", "events"))
+    assert(hit("events", "public.events")) // bare mapping routes public.x
+    assert(hit("public.events", "events")) // and vice versa
+    assert(hit("audit.events", "audit.events"))
+    assert(!hit("audit.events", "events")) // different schema never routes
+    assert(!hit("events", "audit.events"))
+  }
+
   test("replica-identity-full: update/delete keyed by the whole old tuple") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("ridfull")
