@@ -57,6 +57,7 @@ object SparkEntry {
     "text_tokens" -> TextPipeline.tokenCount,
     "text_fingerprint" -> TextPipeline.fingerprint,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
+    "mm_decode_meta" -> operators.Multimodal.qDecodeMeta,
     // --- similarity search (embeddings) ---
     "embed_knn_topk" -> Similarity.knnBrute,
     "embed_ann_lsh" -> Similarity.annLsh,
@@ -91,6 +92,7 @@ object SparkEntry {
     "text_tokens" -> TextPipeline.tokenCountOracle,
     "text_fingerprint" -> TextPipeline.fingerprintOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
+    "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
     "embed_knn_topk" -> Similarity.knnBruteOracle,
     "embed_ann_lsh" -> Similarity.annLshOracle,
     "embed_cosine_dedup" -> Similarity.cosineDedupOracle

@@ -198,10 +198,18 @@ object History {
 
       val newFiles = lake.writeDataFiles(withBucket, snap0.currentSchemaId)
       val removed = snap0.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
-      val lin = routed.toDF().filter(!col("op").isin("R", "T"))
-        .groupBy("sid").agg(min("lsn"), max("lsn")).collect()
-        .map(r => LineageEntry(r.getString(0), r.getLong(1), r.getLong(2), batchId, -1L))
-        .toSeq
+      // one stats pass: lineage per sid + per-batch op counters (A3 sidecar)
+      val stats = routed.toDF().filter(!col("op").isin("R", "T"))
+        .groupBy("sid", "op").agg(min("lsn"), max("lsn"), count(lit(1)))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val lin = stats.groupBy(_._1).map { case (sid, ss) =>
+        LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)
+      }.toSeq
+      lake.writeMetrics(s"$epochKey-$batchId",
+        stats.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n) =>
+          (batchId, sid, "op", op, n) })
       lake.commit(newFiles, removed,
         properties = Map(
           epochKey -> batchId.toString,

@@ -77,4 +77,22 @@ object Multimodal {
       .as[MediaRow]
     decodeFeatures(media).toDF().orderBy("doc_id")
   }
+
+  /** Integer-exact slice of the decode (format sniff + fake dimensions),
+    * via the REAL mapPartitions path — so the driver's DuckDB gate
+    * exercises the multimodal plumbing, not just its schema. The float
+    * feature vectors stay out of the gate (engine-specific rounding) and
+    * are covered by the determinism spec instead. */
+  def qDecodeMeta(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .select("doc_id", "byte_len", "format", "width", "height")
+      .orderBy("doc_id")
+
+  /** DuckDB recomputation of the stub decode's integer outputs: text
+    * payloads never match an image magic ("raw"), dims are len-derived. */
+  val qDecodeMetaOracle: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+SELECT doc_id, len AS byte_len, 'raw' AS format,
+  greatest(len % 640, 1) AS width, greatest(len % 480, 1) AS height
+FROM d ORDER BY doc_id"""
 }

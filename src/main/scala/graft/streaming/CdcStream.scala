@@ -88,7 +88,7 @@ object CdcStream {
     * tests and batch-style backfills). */
   def runAvailable(spark: SparkSession, eventLogGlob: String,
                    checkpointDir: String, routes: Seq[Route],
-                   salts: Int = 1, maxFilesPerTrigger: Int = 1): Unit = {
+                   salts: Int = 0, maxFilesPerTrigger: Int = 1): Unit = {
     val q = start(spark, eventLogGlob, checkpointDir, routes, salts,
       maxFilesPerTrigger, Trigger.AvailableNow())
     q.awaitTermination()
