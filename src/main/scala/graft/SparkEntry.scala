@@ -41,6 +41,7 @@ object SparkEntry {
     "cdc_history_scd2" -> EventsCdc.qHistory,
     "cdc_history_filter" -> EventsCdc.qHistoryFilter,
     "cdc_mapfile_e2e" -> EventsCdc.qMapfileE2e,
+    "cdc_state_apply" -> EventsCdc.qStateApply,
     "cdc_lineage_watermark" -> EventsCdc.qLineage,
     "cdc_metrics_ops" -> EventsCdc.qMetrics,
     "cdc_metrics_batches" -> EventsCdc.qMetricsBatches,
@@ -77,6 +78,9 @@ object SparkEntry {
     "cdc_history_filter" -> EventsCdc.historyOracle(filterSql = "value > 10"),
     "cdc_mapfile_e2e" -> EventsCdc.cloneOracle(
       filterSql = "value > 10", sidExpr = "'s' || (k % 2)"),
+    // same fold oracle as cdc_replay_clone — the state-store strategy must
+    // converge to the identical final table
+    "cdc_state_apply" -> EventsCdc.cloneOracle(),
     "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
     "cdc_metrics_ops" -> EventsCdc.metricsOracle,
     "cdc_metrics_batches" -> EventsCdc.metricsBatchesOracle,

@@ -244,6 +244,47 @@ object EventsCdc {
     }.toDF("op", "total").orderBy("op")
   }
 
+  /** State-store-backed CDC apply (`streaming/StateApply.scala`): the same
+    * change log folded through `mapGroupsWithState` keyed state across 4
+    * real micro-batches (update output mode, memory sink) instead of the
+    * lake merge — final per-key state must equal the SAME clone-fold
+    * oracle, cross-checking the two execution strategies. */
+  def qStateApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-state").toString
+    val ev = derive(spark, dir)
+    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("event_id")).head().getLong(0)
+    val per = maxLsn / Batches + 1
+    (0 until Batches).foreach { b =>
+      val lo = b * per; val hi = lo + per
+      ev.filter(e => e.lsn >= lo && e.lsn < hi).toDF()
+        .coalesce(1).write.parquet(f"$tmp/wal/seg-$b%05d")
+    }
+    val src = spark.readStream.schema(ChangeEvent.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/wal/seg-*").as[ChangeEvent]
+    val emits = graft.streaming.StateApply.stream(src, mergeKey = Seq("user_id"))
+    val qname = "state_apply_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = emits.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // latest emission per key (apps is monotone), live keys only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("apps").desc)
+    spark.table(qname)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("exists"))
+      .select(
+        col("key").cast(LongType).as("user_id") +:
+          payloadSchema.fields.toIndexedSeq.filter(_.name != "user_id").map(f =>
+            Replay.castText(element_at(col("row"), f.name), f.dataType).as(f.name)): _*)
+      .orderBy("user_id")
+  }
+
   /** Per-batch received-op counters from the table's `_metrics` sidecar
     * (the Prometheus ops_total analog, keyed by batch instead of scrape). */
   def qMetricsBatches(spark: SparkSession, dir: String): DataFrame = {
