@@ -42,6 +42,7 @@ object SparkEntry {
     "cdc_history_filter" -> EventsCdc.qHistoryFilter,
     "cdc_mapfile_e2e" -> EventsCdc.qMapfileE2e,
     "cdc_state_apply" -> EventsCdc.qStateApply,
+    "cdc_stream_watermark_agg" -> EventsCdc.qWatermarkAgg,
     "cdc_lineage_watermark" -> EventsCdc.qLineage,
     "cdc_metrics_ops" -> EventsCdc.qMetrics,
     "cdc_metrics_batches" -> EventsCdc.qMetricsBatches,
@@ -81,6 +82,7 @@ object SparkEntry {
     // same fold oracle as cdc_replay_clone — the state-store strategy must
     // converge to the identical final table
     "cdc_state_apply" -> EventsCdc.cloneOracle(),
+    "cdc_stream_watermark_agg" -> EventsCdc.watermarkAggOracle,
     "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
     "cdc_metrics_ops" -> EventsCdc.metricsOracle,
     "cdc_metrics_batches" -> EventsCdc.metricsBatchesOracle,

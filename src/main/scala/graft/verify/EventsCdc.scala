@@ -285,6 +285,68 @@ object EventsCdc {
       .orderBy("user_id")
   }
 
+  /** Event-time windowed aggregation under a watermark (append mode): the
+    * raw events table streams in 4 event_id-contiguous files; rows later
+    * than the watermark (max event time of PRIOR batches minus the delay)
+    * are dropped, and a 1-day window emits only once the watermark passes
+    * its end — trailing windows stay withheld. Deterministic for the fixed
+    * segmentation, and the oracle models both rules exactly. */
+  def qWatermarkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wm").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // round-robin segmentation (event_id % Batches): every batch spans the
+    // whole time range, so batches after the first genuinely contain
+    // late-beyond-watermark rows — the drop rule is exercised, not
+    // vacuously green (contiguous slices would keep ts monotone)
+    (0 until Batches).foreach { b =>
+      raw.filter(pmod(col("event_id"), lit(Batches)) === b)
+        .coalesce(1).write.parquet(f"$tmp/seg-$b%05d")
+    }
+    val src = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/seg-*")
+    // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+    // cast is a pure reinterpretation, and the window bounds are cast back
+    // to NTZ on output (the events table's native type)
+    val agg = src.withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "12 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000, 0).cast("long")).as("sv_e3"))
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("n"), col("sv_e3"))
+    val qname = "wm_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("window_start")
+  }
+
+  /** DuckDB recomputation of the watermark semantics, calibrated against
+    * Spark 4.1 micro-batch execution: the watermark EFFECTIVE during batch
+    * N is derived from the max event time through batch N-2 (the update
+    * computed at batch N-1's construction uses stats of batches before it
+    * — one batch of lag beyond the textbook rule; verified empirically on
+    * the round-robin split); a row is kept iff ts > that watermark; a
+    * window [d, d+1d) emits iff d+1d <= the final watermark (global max
+    * ts - 12h, applied by the trailing no-data batch). */
+  val watermarkAggOracle: String =
+    """WITH e AS (SELECT *, event_id % 4 AS b FROM events),
+mx AS (SELECT b, max(ts) AS mts FROM e GROUP BY b),
+wmb AS (SELECT b, max(mts) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+          - INTERVAL 12 HOUR AS wm FROM mx),
+kept AS (SELECT e.* FROM e JOIN wmb USING (b) WHERE wmb.wm IS NULL OR e.ts > wmb.wm),
+fw AS (SELECT max(ts) - INTERVAL 12 HOUR AS wm FROM events),
+agg AS (SELECT date_trunc('day', ts) AS window_start, count(*) AS n,
+          CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sv_e3
+        FROM kept GROUP BY 1)
+SELECT window_start, window_start + INTERVAL 1 DAY AS window_end, n, sv_e3
+FROM agg, fw WHERE window_start + INTERVAL 1 DAY <= fw.wm
+ORDER BY window_start"""
+
   /** Per-batch received-op counters from the table's `_metrics` sidecar
     * (the Prometheus ops_total analog, keyed by batch instead of scrape). */
   def qMetricsBatches(spark: SparkSession, dir: String): DataFrame = {
