@@ -45,10 +45,12 @@ object CdcStream {
                          epochKey: String = "commit-epoch")
 
   /** One lock per table root: cross-stream applies to one lake serialize
-    * (single-writer commit protocol; see class doc). */
+    * (single-writer commit protocol; see class doc). Shared with the
+    * orchestrator so an initial full sync for a later URL cannot commit
+    * concurrently with an earlier URL's already-running stream. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(root: String): Object =
+  private[streaming] def lockFor(root: String): Object =
     tableLocks.computeIfAbsent(root, _ => new Object)
 
   def start(spark: SparkSession,

@@ -73,13 +73,17 @@ object Orchestrator {
         CdcStream.Route(m, lake)
       }
       db.urls.map { u =>
-        // initial full sync: once per (table, sid), recorded atomically
+        // initial full sync: once per (table, sid), recorded atomically.
+        // Under the table lock: an earlier URL's stream may already be
+        // committing to the same target (single-writer commit protocol).
         routes0.foreach { r =>
-          val prop = s"full-sync-${u.sid}"
-          if (!r.lake.snapshot().properties.contains(prop))
-            backfill(r.mapping.sourceTable, u.sid).foreach { src =>
-              Backfill.initialSync(r.lake, src, sid = Some(u.sid), propKey = prop)
-            }
+          CdcStream.lockFor(r.lake.root).synchronized {
+            val prop = s"full-sync-${u.sid}"
+            if (!r.lake.snapshot().properties.contains(prop))
+              backfill(r.mapping.sourceTable, u.sid).foreach { src =>
+                Backfill.initialSync(r.lake, src, sid = Some(u.sid), propKey = prop)
+              }
+          }
         }
         val routes = routes0.map(_.copy(
           sidOverride = Some(u.sid),

@@ -25,6 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * intra-batch order is restored by sorting each key's ops by `ord` —
   * together per-key apply order matches the reference's single worker per
   * table (`worker.go:106-108`).
+  *
+  * Delivery: the STATE is exactly-once (checkpointed with the stream), but
+  * update-mode emissions replay on crash between sink write and checkpoint
+  * commit — pair with an idempotent downstream (keyed upsert, or the lake
+  * writer's epoch check) exactly as the reference pairs at-least-once
+  * delivery with ON CONFLICT DO NOTHING.
   */
 object StateApply {
 
