@@ -116,6 +116,15 @@ object EventsCdc {
     lake
   }
 
+  /** Stateful-streaming state partitioning = shuffle partitions at FIRST
+    * run (persisted in the checkpoint); the tiny verification streams do
+    * not need the session's 32 state-store instances per micro-batch. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private def finalState(lake: LakeTable, cols: Seq[String]): DataFrame =
     lake.read().select(cols.map(col): _*).orderBy(cols.map(col): _*)
 
@@ -266,12 +275,14 @@ object EventsCdc {
       .parquet(s"$tmp/wal/seg-*").as[ChangeEvent]
     val emits = graft.streaming.StateApply.stream(src, mergeKey = Seq("user_id"))
     val qname = "state_apply_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = emits.toDF().writeStream.format("memory").queryName(qname)
-      .outputMode("update")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) { // 8 state stores/batch, not 32
+      emits.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination() // conf scope must cover async batch planning
+    }
     // latest emission per key (apps is monotone), live keys only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy(col("apps").desc)
@@ -316,11 +327,13 @@ object EventsCdc {
         col("window.end").cast(TimestampNTZType).as("window_end"),
         col("n"), col("sv_e3"))
     val qname = "wm_agg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination() // conf scope must cover async batch planning
+    }
     spark.table(qname).orderBy("window_start")
   }
 

@@ -155,6 +155,47 @@ class ReplaySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("CEL-extension analogs in filter/set: regex, encoders, slicing") {
+    // the reference's CEL env ships strings/math/lists/regex/encoder
+    // extensions (cel.go:68-87); Spark SQL built-ins cover the surface —
+    // prove the representative ones work through the env rewrite
+    val cfg = Gen.Config(numEvents = 6000, numConvs = 60, seed = 41)
+    val spec2 = TableSpec("t3", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("role_b64", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text_head", org.apache.spark.sql.types.StringType))),
+      keyCols = Seq("conv_id", "turn_idx"), bucketCols = Seq("conv_id"), numBuckets = 4)
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("lake"), spec2)
+    val m = mapping.copy(
+      filter = Some("regexp_like(text, '^t-c') AND length(conv_id) >= 3"),
+      set = Some(Seq(
+        "conv_id" -> "conv_id", "turn_idx" -> "turn_idx",
+        "role_b64" -> "base64(cast(role as binary))",
+        "text_head" -> "substring(text, 1, 4)")),
+      sourceSchema = Some(Transcripts.schema))
+    Replay.applyBatch(lake, Gen.events(spark, cfg), m, 0)
+
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val localEvents = (0L until cfg.numEvents).map(id => Gen.mkEvent(id, cfg))
+    val want = Oracle.canonical(
+      Oracle.replay(localEvents, spec2, m,
+        filterFn = Some { env =>
+          val t = env.getOrElse("text", null)
+          // SQL 3-valued logic: NULL text (delete env) => NULL => fail-open keep
+          t == null || (t.startsWith("t-c") && env.getOrElse("conv_id", "").length >= 3)
+        },
+        setFn = Some { v =>
+          Map("conv_id" -> v.getOrElse("conv_id", null),
+            "turn_idx" -> v.getOrElse("turn_idx", null),
+            "role_b64" -> Option(v.getOrElse("role", null)).map(b64).orNull,
+            "text_head" -> Option(v.getOrElse("text", null)).map(_.take(4)).orNull)
+        }),
+      spec2.schema.fieldNames.toSeq)
+    assert(engineCanonical(lake, spec2) == want)
+  }
+
   test("filter/set literals containing column names are NOT rewritten") {
     // 'tool' is BOTH a column of the env schema and a data value of `role`:
     // a text-level rewrite would corrupt the literal to '__env.tool' and
