@@ -63,6 +63,7 @@ object SparkEntry {
     // --- similarity search (embeddings) ---
     "embed_knn_topk" -> Similarity.knnBrute,
     "embed_ann_lsh" -> Similarity.annLsh,
+    "embed_ann_ivf" -> Similarity.annIvf,
     "embed_cosine_dedup" -> Similarity.cosineDedup
   )
 
@@ -101,6 +102,7 @@ object SparkEntry {
     "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
     "embed_knn_topk" -> Similarity.knnBruteOracle,
     "embed_ann_lsh" -> Similarity.annLshOracle,
+    "embed_ann_ivf" -> Similarity.annIvfOracle,
     "embed_cosine_dedup" -> Similarity.cosineDedupOracle
   )
 }

