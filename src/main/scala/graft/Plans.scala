@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit scratch main (not part of the driver contract): executes the
+  * named SparkEntry queries (default: the join-heavy ones) and prints the
+  * final adaptive physical plan plus a red-flag scan for all-pairs joins.
+  * Usage: sbt "runMain graft.Plans [sfDir] [query ...]"
+  */
+object Plans {
+  private val DefaultQueries = Seq(
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk")
+
+  // knnBrute deliberately broadcasts the 5-row query side into a non-equi
+  // join; every other query must stay free of all-pairs operators
+  private val AllowedNlj = Set("embed_knn_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.lake.BareLocalFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var bad = 0
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // force AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      val nlj = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      val flag = if (nlj && !AllowedNlj.contains(name)) { bad += 1; "ALL-PAIRS!" }
+                 else if (nlj) "nlj (allowed)" else "ok"
+      println(s"==== $name [$flag] " + "=" * 40)
+      if (sys.env.get("GRAFT_PLANS_FULL").contains("1")) println(plan)
+      else println(plan.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange") ||
+          l.contains("WholeStageCodegen") || l.contains("PushedFilters") ||
+          l.contains("WindowGroupLimit"))
+        .take(40).mkString("\n"))
+    }
+    println(s"[plans] all-pairs violations: $bad")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -193,9 +193,13 @@ ORDER BY vec_id"""
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
-    broadcast(probes)
-      .join(assigned, array_contains(col("probes"), col("cluster")) &&
-        col("vec_id") =!= col("query_id"))
+    // inverted-file lookup as an EQUI-join on cluster id (probes exploded
+    // to (query, cluster) rows) — hash join, not a nested-loop scan
+    val probeRows = probes.select(col("query_id"), col("qv"),
+      explode(col("probes")).as("cluster"))
+    broadcast(probeRows)
+      .join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cluster"), dot(col("qv"), col("v")).as("dot"))
       .withColumn("rnk", row_number().over(w).cast("long"))
