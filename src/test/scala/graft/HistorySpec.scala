@@ -145,6 +145,38 @@ class HistorySpec extends AnyFunSuite {
       r(mergeKey.size) == r(mergeKey.size).toUpperCase), "set upper(role) applied")
   }
 
+  test("history mode evolves schema from R messages before the apply") {
+    import spark.implicits._
+    val spec = Transcripts.spec(numBuckets = 2)
+      .copy(schema = History.historySchema(Transcripts.schema))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("histev"), spec)
+    def full(turn: Int, text: String, extra: Map[String, String] = Map.empty) =
+      Map("conv_id" -> "c1", "turn_idx" -> turn.toString, "role" -> "user",
+        "text" -> text, "tool" -> null, "ts" -> "2024-01-01 00:00:00") ++ extra
+    History.applyBatch(lake, spark.createDataset(Seq(
+      ChangeEvent(1, 0, "I", "transcripts", "s0", "none", Map.empty, full(0, "v1")))),
+      mapping, 0)
+    // batch 1: R adds `tokens`, then an update carrying it
+    History.applyBatch(lake, spark.createDataset(Seq(
+      ChangeEvent(2, 0, "R", "transcripts", "s0", "none", Map.empty, Map(
+        "conv_id" -> "string", "turn_idx" -> "int", "role" -> "string",
+        "text" -> "string", "tool" -> "string", "ts" -> "timestamp",
+        "tokens" -> "int")),
+      ChangeEvent(3, 0, "U", "transcripts", "s0", "none", Map.empty,
+        full(0, "v2", Map("tokens" -> "42"))))),
+      mapping, 1)
+    val schema = lake.schema
+    assert(schema.fieldNames.contains("tokens"), "R message must add the column")
+    val rows = lake.read().orderBy("kvsz_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("text") == "v1" &&
+      rows(0).isNullAt(rows(0).fieldIndex("tokens"))) // pre-evolution version
+    assert(rows(1).getAs[String]("text") == "v2" &&
+      rows(1).getAs[Int]("tokens") == 42)
+    assert(rows(1).getAs[java.sql.Timestamp]("kvsz_end").toString
+      .startsWith("9999-01-01")) // still open
+  }
+
   test("history timestamps roll seq >= 1000 milliseconds into seconds") {
     import spark.implicits._
     val spec = Transcripts.spec(numBuckets = 2)
