@@ -55,7 +55,9 @@ object Orchestrator {
             checkpointRoot: String,
             backfill: (String, String) => Option[DataFrame] = (_, _) => None,
             salts: Int = 0,
-            maxFilesPerTrigger: Int = 1): Seq[Handle] = {
+            maxFilesPerTrigger: Int = 1,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()): Seq[Handle] = {
     ProgressLog.attach(spark)
     dbMap.databases.flatMap { db =>
       val routes0 = MapConfig.mappings(db).map { m =>
@@ -90,7 +92,8 @@ object Orchestrator {
           epochKey = s"commit-epoch-${db.name}-${u.sid}"))
         val q = CdcStream.start(spark, u.url,
           s"$checkpointRoot/${db.name}-${u.sid}", routes,
-          salts = salts, maxFilesPerTrigger = maxFilesPerTrigger)
+          salts = salts, maxFilesPerTrigger = maxFilesPerTrigger,
+          trigger = trigger)
         Handle(db.name, u.url, u.sid, q)
       }
     }

@@ -112,4 +112,63 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(LakeTable.load(spark, s"$dir/targets/transcripts").read().count() == rows1,
       "existing table untouched by the new-table sync")
   }
+
+  test("continuous trigger: live concurrent fan-in converges, late WAL picked up") {
+    val dir = SparkTestBase.tmpDir("orchlive")
+    val cfgs = Map(
+      "s0" -> Gen.Config(numEvents = 3000, numConvs = 30, seed = 301),
+      "s1" -> Gen.Config(numEvents = 3000, numConvs = 30, seed = 302))
+    // only half the WAL exists at start; the rest lands while live
+    cfgs.foreach { case (s, cfg) => Gen.writeSegments(spark, cfg, s"$dir/wal-$s", 4, 0 until 2) }
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal-s0/seg-*","sid":"s0"},
+         |          {"url":"$dir/wal-s1/seg-*","sid":"s1"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val sidSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("sid",
+        org.apache.spark.sql.types.StringType, nullable = true)
+        +: Transcripts.schema.fields)
+    val specs = Map("transcripts" ->
+      Transcripts.spec(numBuckets = 4, hasSid = true).copy(schema = sidSchema))
+
+    val handles = Orchestrator.start(spark, graft.config.MapConfig.load(s"$dir/map.json"),
+      s"$dir/targets", specs, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+    try {
+      val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+      def epoch(k: String): Long =
+        lake.snapshot().properties.getOrElse(k, "-1").toLong
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (!cond) {
+          assert(System.nanoTime() < deadline, s"timeout waiting for $what")
+          Thread.sleep(300)
+        }
+      }
+      await(epoch("commit-epoch-app-s0") >= 1 && epoch("commit-epoch-app-s1") >= 1,
+        "first half applied by both live streams")
+      cfgs.foreach { case (s, cfg) =>
+        Gen.writeSegments(spark, cfg, s"$dir/wal-$s", 4, 2 until 4) }
+      await(epoch("commit-epoch-app-s0") >= 3 && epoch("commit-epoch-app-s1") >= 3,
+        "late-landing WAL applied by both live streams")
+    } finally handles.foreach(_.query.stop())
+
+    val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+    val spec = specs("transcripts")
+    cfgs.foreach { case (s, cfg) =>
+      val localEvents = (0L until cfg.numEvents)
+        .map(id => Gen.mkEvent(id, cfg).copy(sid = s))
+      val want = Oracle.canonical(
+        Oracle.replay(localEvents, spec, TableMapping("transcripts", "transcripts")),
+        spec.schema.fieldNames.toSeq)
+      val got = lake.read().filter(col("sid") === s)
+        .select(spec.schema.fieldNames.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+        .collect().toSeq
+        .map(r => spec.schema.fieldNames.toSeq.map(c => r.getAs[String](c)))
+        .sortBy(_.map(v => if (v == null) "" else v).mkString("\u0001"))
+      assert(got == want.map(_._2), s"tenant $s diverged under live fan-in")
+    }
+  }
 }
