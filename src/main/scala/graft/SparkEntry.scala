@@ -44,6 +44,7 @@ object SparkEntry {
     "cdc_state_apply" -> EventsCdc.qStateApply,
     "cdc_stream_watermark_agg" -> EventsCdc.qWatermarkAgg,
     "cdc_lineage_watermark" -> EventsCdc.qLineage,
+    "cdc_time_travel" -> EventsCdc.qTimeTravel,
     "cdc_metrics_ops" -> EventsCdc.qMetrics,
     "cdc_metrics_batches" -> EventsCdc.qMetricsBatches,
     "cdc_drift_deletemiss" -> EventsCdc.qDriftDeleteMiss,
@@ -85,6 +86,7 @@ object SparkEntry {
     "cdc_state_apply" -> EventsCdc.cloneOracle(),
     "cdc_stream_watermark_agg" -> EventsCdc.watermarkAggOracle,
     "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
+    "cdc_time_travel" -> EventsCdc.timeTravelOracle,
     "cdc_metrics_ops" -> EventsCdc.metricsOracle,
     "cdc_metrics_batches" -> EventsCdc.metricsBatchesOracle,
     "cdc_drift_deletemiss" -> EventsCdc.driftDeleteMissOracle,

@@ -235,6 +235,22 @@ object EventsCdc {
       "sid" +: outCols)
   }
 
+  /** Time travel: replay ALL batches, then read the snapshot that batch 2
+    * committed (resolved via lineage, not version arithmetic) — the state
+    * must equal the fold of only the first three batches' LSN range. */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
+    val v = lake.snapshot().lineage.find(_.batchId == 2L)
+      .map(_.snapshotVersion)
+      .getOrElse(throw new IllegalStateException("no lineage for batch 2"))
+    lake.read(version = v)
+      .select(outCols.map(col): _*).orderBy(outCols.map(col): _*)
+  }
+
+  /** cloneOracle over the first three batches only (the time-travel cut). */
+  val timeTravelOracle: String = cloneOracle(
+    excl = "event_id < 3 * ((SELECT max(event_id) FROM events) // 4 + 1)")
+
   def qLineage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
