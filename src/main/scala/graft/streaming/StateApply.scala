@@ -36,7 +36,12 @@ object StateApply {
 
   /** Checkpointed per-key state: current row (empty when deleted/absent)
     * plus the cumulative applied-op count (monotone — consumers pick the
-    * max-apps emission per key as the latest). */
+    * max-apps emission per key as the latest).
+    *
+    * Deleted keys keep a tombstone (exists=false) so `apps` stays monotone
+    * across delete-then-reinsert; at 10^10-deleted-key scale swap
+    * NoTimeout for ProcessingTimeTimeout eviction — or use the lake merge
+    * path, whose state IS the table. */
   final case class KeyState(exists: Boolean, row: Map[String, String],
                             apps: Long)
 
