@@ -2,7 +2,7 @@ package graft
 
 import graft.config.MapConfig
 import graft.lake.LakeTable
-import graft.model.{ChangeEvent, TableMapping, TableMode, TableSpec}
+import graft.model.{ChangeEvent, TableMapping, TableMode, TableSpec, Transcripts}
 import graft.operators.{Backfill, Replay}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -67,6 +67,26 @@ class CoverageSpec extends AnyFunSuite {
     val after = lake.read().orderBy("k").collect()
     assert(after.length == 1)
     assert(after.head.getString(2) == "a2")
+  }
+
+  test("TOAST at reference size: 20KB value survives an omitting update (60-Toast analog)") {
+    import spark.implicits._
+    val spec = Transcripts.spec(numBuckets = 2)
+    val lake = graft.lake.LakeTable.create(spark, SparkTestBase.tmpDir("toast"), spec)
+    val big = ("lorem-" * 3500).take(20000) // 20 KB, like 60-Toast.robot
+    val mapping = TableMapping("transcripts", "transcripts")
+    val evs = Seq(
+      ChangeEvent(1, 0, "I", "transcripts", "s0", "none", Map.empty,
+        Map("conv_id" -> "c1", "turn_idx" -> "0", "role" -> "user",
+          "text" -> big, "tool" -> null, "ts" -> "2024-01-01 00:00:00")),
+      // unchanged-TOAST update: text omitted, role changes
+      ChangeEvent(2, 0, "U", "transcripts", "s0", "none", Map.empty,
+        Map("conv_id" -> "c1", "turn_idx" -> "0", "role" -> "assistant",
+          "tool" -> null, "ts" -> "2024-01-01 00:00:01")))
+    graft.operators.Replay.applyBatch(lake, spark.createDataset(evs), mapping, 0)
+    val row = lake.read().collect().head
+    assert(row.getAs[String]("text") == big, "20KB TOAST value must be kept")
+    assert(row.getAs[String]("role") == "assistant")
   }
 
   test("schema-qualified routing: default schema public (71-schema analog)") {
