@@ -11,6 +11,7 @@ object Probe {
     val cores = args.headOption.getOrElse("32")
     val events = args.lift(1).map(_.toLong).getOrElse(500000L)
     val nB = args.lift(2).map(_.toInt).getOrElse(8)
+    val skew = args.lift(3).map(_.toDouble).getOrElse(2.0)
     val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession.builder().master(master)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -25,7 +26,7 @@ object Probe {
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_WORK_BASE", "/tmp")), "probe").toString
     val cfg = Gen.Config(numEvents = events, numConvs = math.max(64, (events / 64).toInt),
-      skew = 2.0, numPartitions = 32)
+      skew = skew, numPartitions = 32)
     Gen.writeLog(spark, cfg, s"$work/wal", nB, filesPerSegment = 32)
     val lake = LakeTable.create(spark, s"$work/t",
       graft.model.Transcripts.spec(numBuckets = 64))
