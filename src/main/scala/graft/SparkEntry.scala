@@ -59,6 +59,7 @@ object SparkEntry {
     "text_quality" -> TextPipeline.quality,
     "text_tokens" -> TextPipeline.tokenCount,
     "text_fingerprint" -> TextPipeline.fingerprint,
+    "pipeline_curation" -> TextPipeline.curation,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMeta,
     // --- similarity search (embeddings) ---
@@ -100,6 +101,7 @@ object SparkEntry {
     "text_quality" -> TextPipeline.qualityOracle,
     "text_tokens" -> TextPipeline.tokenCountOracle,
     "text_fingerprint" -> TextPipeline.fingerprintOracle,
+    "pipeline_curation" -> TextPipeline.curationOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
     "embed_knn_topk" -> Similarity.knnBruteOracle,

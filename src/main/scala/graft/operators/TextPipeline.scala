@@ -335,6 +335,50 @@ SELECT doc_id,
 FROM h ORDER BY doc_id"""
 
   // ---------------------------------------------------------------------
+  // C1: end-to-end curation decision — the pipeline the operators exist
+  // for: exact dedup, then near-dedup (MinHash-LSH verified pairs; the
+  // higher doc_id of a pair drops), then quality gating. One row per doc
+  // with keep/reason, precedence exact > near > quality. Composes the
+  // operators above without extra scans of the corpus beyond theirs.
+  // ---------------------------------------------------------------------
+
+  val QualityFloor = 0.05
+
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val keepers = dedupExact(spark, dir).select(col("text_md5"), col("keep_id"))
+    val nearDrop = dedupMinhashLsh(spark, dir).select(col("b").as("doc_id"))
+      .distinct().withColumn("near", lit(true))
+    val q = quality(spark, dir).select(col("doc_id"), col("quality"))
+    d.join(keepers, d("h") === keepers("text_md5"))
+      .join(nearDrop, Seq("doc_id"), "left_outer")
+      .join(q, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("near"), "near_dup")
+          .when(col("quality") < QualityFloor, "low_quality")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  val curationOracle: String =
+    s"""WITH ex AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+near AS (SELECT DISTINCT b AS doc_id FROM ($dedupMinhashLshOracle) mh),
+q AS (SELECT doc_id, quality FROM ($qualityOracle) qq),
+dec AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id <> ex.keep_id THEN 'exact_dup'
+         WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+         WHEN q.quality < $QualityFloor THEN 'low_quality'
+         ELSE 'keep' END AS reason
+  FROM documents d JOIN ex ON ex.h = md5(d.text)
+  LEFT JOIN near ON near.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id)
+SELECT doc_id, reason = 'keep' AS keep, reason FROM dec ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
   // M1: multimodal plumbing — opaque binary column + typed metadata
   // (byte length, content digest). Real decode (image/audio) would hang
   // off this same shape via mapPartitions; see Multimodal.
