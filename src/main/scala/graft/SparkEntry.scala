@@ -62,6 +62,7 @@ object SparkEntry {
     "pipeline_curation" -> TextPipeline.curation,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMeta,
+    "mm_frame_sample" -> operators.Multimodal.frameSample,
     // --- similarity search (embeddings) ---
     "embed_knn_topk" -> Similarity.knnBrute,
     "embed_ann_lsh" -> Similarity.annLsh,
@@ -104,6 +105,7 @@ object SparkEntry {
     "pipeline_curation" -> TextPipeline.curationOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
+    "mm_frame_sample" -> operators.Multimodal.frameSampleOracle,
     "embed_knn_topk" -> Similarity.knnBruteOracle,
     "embed_ann_lsh" -> Similarity.annLshOracle,
     "embed_ann_ivf" -> Similarity.annIvfOracle,

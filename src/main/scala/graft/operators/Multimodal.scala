@@ -95,4 +95,46 @@ object Multimodal {
 SELECT doc_id, len AS byte_len, 'raw' AS format,
   greatest(len % 640, 1) AS width, greatest(len % 480, 1) AS height
 FROM d ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------
+  // Frame sampling: slice the opaque binary payload into fixed-width
+  // frames and keep every SampleEvery-th one — the video-frame-sample /
+  // audio-chunk shape, as REAL binary slicing (only the codec decode
+  // itself is stubbed). Narrow per-row explode, no shuffle; frame width
+  // and stride are the partition-size knobs at 100 TB.
+  // -------------------------------------------------------------------
+
+  val FrameBytes = 64
+  val SampleEvery = 4
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")) / lit(FrameBytes.toDouble)).cast("int"))
+    d.filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(SampleEvery)))
+          .as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Oracle over the TEXT form (payloads are ASCII, so byte slicing ==
+    * char slicing and md5(blob) == md5(varchar) on identical bytes —
+    * PipelineSpec asserts the byte_len == n_chars premise). */
+  val frameSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+f AS (SELECT doc_id, text,
+        unnest(range(0, CAST(ceil(len / $FrameBytes.0) AS BIGINT), $SampleEvery)) AS frame_idx
+      FROM d WHERE len > 0)
+SELECT doc_id, frame_idx,
+  length(substr(text, CAST(frame_idx * $FrameBytes + 1 AS BIGINT), $FrameBytes)) AS frame_len,
+  md5(substr(text, CAST(frame_idx * $FrameBytes + 1 AS BIGINT), $FrameBytes)) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx"""
 }
