@@ -113,6 +113,42 @@ class OrchestratorSpec extends AnyFunSuite {
       "existing table untouched by the new-table sync")
   }
 
+  test("mixed modes: one stream fans out to clone AND history targets") {
+    val dir = SparkTestBase.tmpDir("orchmix")
+    val cfg = Gen.Config(numEvents = 3000, numConvs = 30, seed = 401)
+    Gen.writeLog(spark, cfg, s"$dir/wal", 2)
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"t_clone"},
+         |            "transcripts_h":{"type":"history","target":"t_hist",
+         |                             "partitions_regex":"transcripts"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    // history spec WITHOUT kvsz columns: the orchestrator appends them
+    val specs = Map(
+      "t_clone" -> Transcripts.spec("t_clone", numBuckets = 4),
+      "t_hist" -> Transcripts.spec("t_hist", numBuckets = 4))
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
+
+    val clone = LakeTable.load(spark, s"$dir/targets/t_clone")
+    val hist = LakeTable.load(spark, s"$dir/targets/t_hist")
+    assert(hist.schema.fieldNames.contains("kvsz_start"),
+      "orchestrator must append validity columns to history targets")
+    val localEvents = (0L until cfg.numEvents).map(id => Gen.mkEvent(id, cfg))
+    val want = Oracle.replay(localEvents, specs("t_clone"),
+      TableMapping("transcripts", "t_clone"))
+    assert(clone.read().count() == want.size, "clone target converged")
+    // history keeps every version: at least as many rows as live keys,
+    // soft-deleted intervals present
+    assert(hist.read().count() >= want.size)
+    assert(hist.read().filter(col("kvsz_deleted")).count() > 0,
+      "deletes must be soft (closed intervals), not dropped")
+    // both targets advanced the same stream epoch independently
+    assert(clone.snapshot().properties("commit-epoch-app-s0").toLong >= 1)
+    assert(hist.snapshot().properties("commit-epoch-app-s0").toLong >= 1)
+  }
+
   test("continuous trigger: live concurrent fan-in converges, late WAL picked up") {
     val dir = SparkTestBase.tmpDir("orchlive")
     val cfgs = Map(
