@@ -21,7 +21,12 @@ object Probe {
       .config("spark.local.dir", sys.env.getOrElse("GRAFT_WORK_BASE", "/tmp"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.hadoop.fs.file.impl", classOf[graft.lake.BareLocalFileSystem].getName).getOrCreate()
+    // ad-hoc conf overrides for tuning probes: GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[probe] nestedVectorized=" + spark.conf.get(
+      "spark.sql.parquet.enableNestedColumnVectorizedReader"))
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_WORK_BASE", "/tmp")), "probe").toString
