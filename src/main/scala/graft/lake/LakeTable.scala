@@ -184,11 +184,17 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val versions = listVersions
     val keep = versions.takeRight(keepN)
     val expire = versions.dropRight(keepN)
+    // Liveness by FILE NAME, not path spelling: all data files live flat in
+    // <root>/data and carry a UUID, so the name is unique — while the same
+    // root reloaded under a different spelling (relative path, './'
+    // segments, symlink) would make raw path equality match nothing and
+    // delete every live file.
     val referenced: Set[String] =
-      keep.flatMap(v => snapshot(v).files.map(_.path)).toSet
+      keep.flatMap(v => snapshot(v).files.map(f =>
+        Paths.get(f.path).getFileName.toString)).toSet
     val deleted = Files.list(dataDir).iterator.asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .filterNot(p => referenced.contains(p.toString))
+      .filterNot(p => referenced.contains(p.getFileName.toString))
       .toSeq
     deleted.foreach(Files.deleteIfExists(_))
     expire.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%020d.json")))
@@ -209,8 +215,14 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
                    rows: Seq[(Long, String, String, String, Long)]): Unit = {
     val dir = Paths.get(root, "_metrics")
     Files.createDirectories(dir)
+    // Jackson-serialized (not string interpolation): a config-provided sid
+    // containing a quote/backslash must escape, or spark.read.json nulls
+    // the row silently. LinkedHashMap keeps the field order stable.
     val lines = rows.map { case (b, sid, kind, key, v) =>
-      s"""{"batch_id":$b,"sid":${if (sid == null) "null" else "\"" + sid + "\""},"kind":"$kind","key":"$key","value":$v}"""
+      val m = new java.util.LinkedHashMap[String, Any]()
+      m.put("batch_id", b); m.put("sid", sid)
+      m.put("kind", kind); m.put("key", key); m.put("value", v)
+      mapper.writeValueAsString(m)
     }
     val tmp = dir.resolve(s".tmp-$name")
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))

@@ -86,16 +86,26 @@ final case class TableMapping(
     sourceSchema: Option[org.apache.spark.sql.types.StructType] = None
 ) {
   /** Exact-then-regex match, mirroring `streamer/mapping_table.go:57-81`;
-    * exact names are schema-qualified with default schema `public`
-    * (`streamer/metadata.go:37-50`). */
-  def matches(table: String): Boolean =
-    TableMapping.qualify(table) == TableMapping.qualify(sourceTable) ||
-      partitionsRegex.exists(r => table.matches(r))
+    * names are schema-qualified with default schema `public`
+    * (`streamer/metadata.go:37-50`), and the partitions regex — like the
+    * reference, which splits the schema before matching — applies to the
+    * schema-stripped table name with schema equality required. */
+  def matches(table: String): Boolean = {
+    val (ts, tb) = TableMapping.splitSchema(table)
+    val (ms, mb) = TableMapping.splitSchema(sourceTable)
+    ts == ms && (tb == mb || partitionsRegex.exists(r => tb.matches(r)))
+  }
 }
 
 object TableMapping {
   /** `name` -> `public.name`; already-qualified names pass through. */
   def qualify(t: String): String = if (t.contains(".")) t else s"public.$t"
+
+  /** (schema, bare table name) with default schema `public`. */
+  def splitSchema(t: String): (String, String) = t.indexOf('.') match {
+    case -1 => ("public", t)
+    case i => (t.substring(0, i), t.substring(i + 1))
+  }
 }
 
 /** Target lake-table descriptor. Spark has no primary-key metadata, so the

@@ -163,22 +163,29 @@ object Replay {
   /** R1 table routing as a native Column predicate (exact-then-regex,
     * `mapping_table.go:57-81`) — NOT a typed lambda filter, which would
     * force whole-row object deserialization (maps included) on every
-    * downstream pass and defeat parquet column pruning. `String.matches`
-    * is a full match, so the regex is anchored.
+    * downstream pass and defeat parquet column pruning. `regexp_like`
+    * against `^(?:r)$` is a full match, so the regex is anchored.
     *
-    * Exact matching is schema-qualified with default schema `public`
+    * Matching is schema-qualified with default schema `public`
     * (`metadata.go:37-50`, `71-schema.robot`): a bare name on either side
     * means `public.<name>`, so mapping "events" routes "public.events"
     * and mapping "audit.events" does NOT route bare "events". The
-    * partitions regex applies to the raw wire name (physical partition
-    * names). */
+    * partitions regex — like the reference, which splits the schema first
+    * (`mapping_table.go` Match + splitSchema) — applies to the
+    * SCHEMA-STRIPPED table name and additionally requires the schemas to
+    * be equal: "public.events_p1" routes a public "events" mapping with
+    * regex "events_p[0-9]", while "audit.events_p1" does not. */
   def routeCond(mapping: TableMapping): Column = {
     val ev = col("source_table")
-    val evQualified = when(ev.contains("."), ev)
-      .otherwise(concat(lit("public."), ev))
-    val exact = evQualified === lit(TableMapping.qualify(mapping.sourceTable))
+    val evSchema = when(ev.contains("."), regexp_extract(ev, "^([^.]+)\\.", 1))
+      .otherwise(lit("public"))
+    val evBare = when(ev.contains("."), regexp_extract(ev, "^[^.]+\\.(.*)$", 1))
+      .otherwise(ev)
+    val (mSchema, mBare) = TableMapping.splitSchema(mapping.sourceTable)
+    val schemaEq = evSchema === lit(mSchema)
+    val exact = schemaEq && (evBare === lit(mBare))
     mapping.partitionsRegex.fold(exact)(r =>
-      exact || regexp_like(ev, lit(s"^(?:$r)$$")))
+      exact || (schemaEq && regexp_like(evBare, lit(s"^(?:$r)$$"))))
   }
 
   // ---------------------------------------------------------------------

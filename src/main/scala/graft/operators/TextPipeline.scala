@@ -256,7 +256,6 @@ FROM c ORDER BY doc_id"""
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val sw = stopwords.map(m => s"'$m'").mkString(", ")
     docs(spark, dir).select(col("doc_id"), col("n_chars"), words.as("ws"), col("text"))
       .withColumn("n_words", size(col("ws")))
       .withColumn("sum_wlen",

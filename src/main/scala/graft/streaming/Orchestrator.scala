@@ -32,8 +32,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      assigns sid per URL in config — it is not wire data).
   *
   * Cross-source fan-in into one table is safe: applies serialize on the
-  * per-table lock (CdcStream) and each stream keeps its own epoch property
-  * (`commit-epoch-<db>-<sid>`).
+  * per-table lock (CdcStream) and each (stream, mapping) pair keeps its own
+  * epoch property (`commit-epoch-<db>-<sid>-<sourceTable>`), so neither
+  * cross-stream fan-in nor two mappings of ONE stream sharing a target can
+  * collide on idempotent-replay bookkeeping.
   */
 object Orchestrator {
 
@@ -87,9 +89,13 @@ object Orchestrator {
               }
           }
         }
-        val routes = routes0.map(_.copy(
+        // Epoch key per (stream, MAPPING), not per stream: two map entries
+        // may share one target (the reference's consolidation shape), and a
+        // shared key would let the first route's commit mark the batch done
+        // for the second route — silently dropping its events every batch.
+        val routes = routes0.map(r => r.copy(
           sidOverride = Some(u.sid),
-          epochKey = s"commit-epoch-${db.name}-${u.sid}"))
+          epochKey = s"commit-epoch-${db.name}-${u.sid}-${r.mapping.sourceTable}"))
         val q = CdcStream.start(spark, u.url,
           s"$checkpointRoot/${db.name}-${u.sid}", routes,
           salts = salts, maxFilesPerTrigger = maxFilesPerTrigger,

@@ -109,6 +109,26 @@ class CoverageSpec extends AnyFunSuite {
     assert(hit("audit.events", "audit.events"))
     assert(!hit("audit.events", "events")) // different schema never routes
     assert(!hit("events", "audit.events"))
+
+    // partitions regex applies to the SCHEMA-STRIPPED name with schema
+    // equality required (mapping_table.go Match + splitSchema)
+    def hitRx(mappingTable: String, rx: String, eventTable: String): Boolean = {
+      val m = TableMapping(mappingTable, "t", partitionsRegex = Some(rx))
+      val ev = ChangeEvent(1, 0, "I", eventTable, "s0", "none", Map.empty,
+        Map("conv_id" -> "c", "turn_idx" -> "0"))
+      val viaColumn = spark.createDataset(Seq(ev)).toDF()
+        .filter(Replay.routeCond(m)).count() == 1
+      assert(viaColumn == m.matches(eventTable),
+        s"Column predicate and matches() disagree for $mappingTable/$rx vs $eventTable")
+      viaColumn
+    }
+    assert(hitRx("events", "events_p[0-3]", "events_p1"))
+    assert(hitRx("events", "events_p[0-3]", "public.events_p1"),
+      "schema-qualified partition of a public mapping must route")
+    assert(!hitRx("events", "events_p[0-3]", "audit.events_p1"),
+      "a partition in another schema must NOT match a public mapping's regex")
+    assert(hitRx("audit.events", "events_p[0-3]", "audit.events_p1"))
+    assert(!hitRx("audit.events", "events_p[0-3]", "events_p1"))
   }
 
   test("replica-identity-full: update/delete keyed by the whole old tuple") {

@@ -59,4 +59,33 @@ class LakeVacuumSpec extends AnyFunSuite {
       all.filter(e => (e.lsn - 1) * cfg.txnSize + e.seq >= 2000L), mapping, 3)
     assert(lake.read().count() > 0)
   }
+
+  test("vacuum survives a different path spelling of the same root") {
+    val dir = SparkTestBase.tmpDir("vacpath")
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 2))
+    val mapping = TableMapping("transcripts", "transcripts")
+    val cfg = Gen.Config(numEvents = 500, numConvs = 10, seed = 7)
+    Replay.applyBatch(lake, Gen.events(spark, cfg), mapping, 0)
+    val rows = lake.read().count()
+    assert(rows > 0)
+    // reload the SAME table under a './'-spelled root: manifest paths no
+    // longer string-equal Files.list's spelling — liveness must compare by
+    // unique file name, or vacuum would delete every live file
+    val respelled = LakeTable.load(spark, s"$dir/./")
+    val (_, deleted) = respelled.vacuum(retainVersions = 1)
+    assert(deleted == 0, s"vacuum deleted $deleted LIVE files under a respelled root")
+    assert(lake.read().count() == rows, "table must read fully after vacuum")
+  }
+
+  test("metrics sidecar escapes quotes/backslashes in sid (JSONL integrity)") {
+    val dir = SparkTestBase.tmpDir("vacmet")
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 2))
+    val evilSid = "s\"quote\\back\nnl"
+    lake.writeMetrics("t-0", Seq((0L, evilSid, "op", "I", 5L)))
+    val got = lake.metrics().collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("sid") == evilSid,
+      s"sid must round-trip through the JSONL sidecar, got ${got(0)}")
+    assert(got(0).getAs[Long]("value") == 5L)
+  }
 }

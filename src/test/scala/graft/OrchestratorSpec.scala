@@ -145,8 +145,39 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(hist.read().filter(col("kvsz_deleted")).count() > 0,
       "deletes must be soft (closed intervals), not dropped")
     // both targets advanced the same stream epoch independently
-    assert(clone.snapshot().properties("commit-epoch-app-s0").toLong >= 1)
-    assert(hist.snapshot().properties("commit-epoch-app-s0").toLong >= 1)
+    assert(clone.snapshot().properties("commit-epoch-app-s0-transcripts").toLong >= 1)
+    assert(hist.snapshot().properties("commit-epoch-app-s0-transcripts_h").toLong >= 1)
+  }
+
+  test("two mappings of ONE stream into one shared target: no epoch collision") {
+    val dir = SparkTestBase.tmpDir("orchshared")
+    val cfg = Gen.Config(numEvents = 2000, numConvs = 20, seed = 501)
+    Gen.writeLog(spark, cfg, s"$dir/wal", 2)
+    // the reference's consolidation shape: two table-map entries, one
+    // target. The second mapping routes the same physical table via regex,
+    // restricted to role='user' rows so the two mappings' contributions are
+    // distinguishable. A shared epoch key would silently drop the second
+    // mapping's events (its applyBatch would see batchId <= epoch).
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"both",
+         |                           "filter":"role = 'assistant'"},
+         |            "transcripts_alias":{"type":"clone","target":"both",
+         |                                 "partitions_regex":"transcripts",
+         |                                 "filter":"role = 'user'"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("both" -> Transcripts.spec("both", numBuckets = 4))
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
+    val lake = LakeTable.load(spark, s"$dir/targets/both")
+    val props = lake.snapshot().properties
+    assert(props("commit-epoch-app-s0-transcripts").toLong >= 1)
+    assert(props("commit-epoch-app-s0-transcripts_alias").toLong >= 1)
+    // BOTH mappings' rows are present — the second mapping was not dropped
+    val roles = lake.read().select("role").distinct().collect().map(_.getString(0)).toSet
+    assert(roles.contains("user") && roles.contains("assistant"),
+      s"expected rows from both mappings, got roles=$roles")
   }
 
   test("continuous trigger: live concurrent fan-in converges, late WAL picked up") {
@@ -183,11 +214,13 @@ class OrchestratorSpec extends AnyFunSuite {
           Thread.sleep(300)
         }
       }
-      await(epoch("commit-epoch-app-s0") >= 1 && epoch("commit-epoch-app-s1") >= 1,
+      await(epoch("commit-epoch-app-s0-transcripts") >= 1 &&
+        epoch("commit-epoch-app-s1-transcripts") >= 1,
         "first half applied by both live streams")
       cfgs.foreach { case (s, cfg) =>
         Gen.writeSegments(spark, cfg, s"$dir/wal-$s", 4, 2 until 4) }
-      await(epoch("commit-epoch-app-s0") >= 3 && epoch("commit-epoch-app-s1") >= 3,
+      await(epoch("commit-epoch-app-s0-transcripts") >= 3 &&
+        epoch("commit-epoch-app-s1-transcripts") >= 3,
         "late-landing WAL applied by both live streams")
     } finally handles.foreach(_.query.stop())
 
