@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * Scale notes: brute-force is O(Q·N) — fine for a bounded query set
   * (broadcast the quantized queries); the LSH variant buckets the corpus
   * once (one shuffle on bucket id) so candidate generation is
-  * O(N · bucket_occupancy) — that is the 100 TB path, with the number of
-  * planes tuned to bound bucket sizes.
+  * O(N · bucket_occupancy) — that is the 100 TB path. Every bucketed
+  * operator takes its bucket-count knob as an argument (planes / K+probe /
+  * bandBits — the driver-contract entry points bind the tuned defaults)
+  * and exposes an [[occupancy]] histogram + GRAFT_OCCUPANCY=1 guard so a
+  * lagging knob shows up as a loud candidate-volume warning, not a silent
+  * quadratic job.
   */
 object Similarity {
 
@@ -90,13 +94,69 @@ ORDER BY query_id, rnk"""
   def planeWeight(p: Int, d: Int): Long =
     (1103515245L * (p * Dim + d) + 12345L) % 2001L - 1000L
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------------------------------
+  // Bucket-occupancy guard — the scale instrument for every bucketed /
+  // banded candidate generator below. Candidate volume is
+  // sum_buckets n*(n-1)/2: if bucket counts do not grow with the corpus,
+  // that term goes quadratic. One tiny aggregation (count/max/sum over the
+  // bucket histogram) makes the blow-up visible BEFORE it happens; emitted
+  // to stderr when GRAFT_OCCUPANCY=1 so a 100 TB run can alert on it.
+  // ---------------------------------------------------------------------
+
+  final case class Occupancy(buckets: Long, maxOccupancy: Long,
+                             candidatePairs: Long)
+
+  /** Histogram aggregate over the bucketed rows: bucket count, largest
+    * bucket, and the exact candidate-pair volume the in-bucket self-join
+    * will produce. */
+  def occupancy(banded: DataFrame, bucketCols: Seq[String]): Occupancy = {
+    val r = banded.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)),
+        coalesce(max(col("n")), lit(0L)),
+        // n*(n-1) is even, so the integral division is exact
+        coalesce(floor(sum(col("n") * (col("n") - 1)) / 2).cast("long"), lit(0L)))
+      .head()
+    Occupancy(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  private val emitOccupancy = sys.env.get("GRAFT_OCCUPANCY").contains("1")
+  private val occupancyCap =
+    sys.env.getOrElse("GRAFT_OCCUPANCY_CAP", "100000").toLong
+
+  /** Env-gated (GRAFT_OCCUPANCY=1) per-operator emission + loud warning
+    * when the largest bucket exceeds GRAFT_OCCUPANCY_CAP — the signal to
+    * raise the operator's planes/bandBits/K knob at the next ingest. */
+  private[operators] def guardOccupancy(op: String, banded: DataFrame,
+                                        bucketCols: Seq[String]): Unit =
+    if (emitOccupancy) {
+      val o = occupancy(banded, bucketCols)
+      System.err.println(s"[occupancy] op=$op buckets=${o.buckets} " +
+        s"max_occupancy=${o.maxOccupancy} candidate_pairs=${o.candidatePairs}")
+      if (o.maxOccupancy > occupancyCap)
+        System.err.println(s"[occupancy] WARNING op=$op max bucket " +
+          s"${o.maxOccupancy} > cap $occupancyCap — candidate volume is " +
+          "going quadratic; raise the operator's bucket knob " +
+          "(planes / bandBits / K)")
+    }
+
+  /** Default-knob entry (driver contract). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(spark, dir, Planes)
+
+  /** @param planes hyperplane count -> 2^planes buckets. THE scale knob:
+    *               in-bucket candidate volume is O(N^2 / 2^planes) on
+    *               spread-out data, so planes must grow ~2·log2(N/target
+    *               occupancy) with the corpus; [[guardOccupancy]] makes a
+    *               lagging knob visible at run time. */
+  def annLsh(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
     val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
-    val bucket = (0 until Planes).map { p =>
+    val bucket = (0 until planes).map { p =>
       val w = array((1 to Dim).map(d => lit(planeWeight(p, d))): _*)
       when(dot(col("v"), w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = e.withColumn("bucket", bucket)
+    guardOccupancy("embed_ann_lsh", b, Seq("bucket"))
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
@@ -144,7 +204,17 @@ ORDER BY vec_id"""
   private def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Default-knob entry (driver contract). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, IvfK, IvfProbe, IvfIters)
+
+  /** @param k     cluster count — grow ~ sqrt(N) with the corpus so the
+    *              probed candidate volume O(N·probe/k) stays bounded
+    * @param probe clusters scanned per query (recall/cost dial) */
+  def annIvf(spark: SparkSession, dir: String, k: Int, probe: Int,
+             iters: Int): DataFrame = {
+    require(k >= 1 && probe >= 1 && probe <= k,
+      s"bad ivf knobs: k=$k probe=$probe")
     val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
     def centLit(c: Array[Long]): Column = array(c.map(lit(_)).toIndexedSeq: _*)
     // argmin over (dist2, cid): array_min on struct is lexicographic
@@ -154,12 +224,12 @@ ORDER BY vec_id"""
       }.toIndexedSeq: _*)).getField("cid")
 
     // seeds: the first K vectors (deterministic; they stay in the corpus)
-    var cents: Array[Array[Long]] = e.filter(col("vec_id") < IvfK)
+    var cents: Array[Array[Long]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").select("v").collect()
       .map(_.getSeq[Long](0).toArray)
     // Lloyd iterations; the K x Dim centroid table is bounded driver-side
     // metadata (like AQE stats), everything per-row stays distributed
-    (1 to IvfIters).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val sums = e.withColumn("cid", clusterOf(col("v"), cents))
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
@@ -177,8 +247,9 @@ ORDER BY vec_id"""
       }
     }
     val assigned = e.withColumn("cluster", clusterOf(col("v"), cents))
+    guardOccupancy("embed_ann_ivf", assigned, Seq("cluster"))
 
-    // per-query probe list: IvfProbe nearest centroids (driver-side over
+    // per-query probe list: `probe` nearest centroids (driver-side over
     // the K-row centroid table; ties by cid)
     import spark.implicits._
     val qs = e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
@@ -187,7 +258,7 @@ ORDER BY vec_id"""
     val probes = qs.map { case (qid, qv0) =>
       val top = cents.zipWithIndex.map { case (c, i) =>
         (c.zip(qv0).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
-      }.sorted.take(IvfProbe).map(_._2)
+      }.sorted.take(probe).map(_._2)
       (qid, qv0.toSeq, top.toSeq)
     }.toSeq.toDF("query_id", "qv", "probes")
 
@@ -263,22 +334,35 @@ ORDER BY query_id, rnk"""
   val BandBits = 4
   val DedupBands: Int = DedupPlanes / BandBits // 4 bands x 4-bit buckets
 
-  /** 16-bit sign signature over the dedup hyperplanes (planes 0..15 of
-    * [[planeWeight]] — the same deterministic family annLsh uses). */
-  private def signature(v: Column): Column =
-    (0 until DedupPlanes).map { p =>
+  /** Sign signature over the first `planes` dedup hyperplanes (the same
+    * deterministic [[planeWeight]] family annLsh uses). */
+  private[graft] def signature(v: Column, planes: Int): Column =
+    (0 until planes).map { p =>
       val w = array((1 to Dim).map(d => lit(planeWeight(p, d))): _*)
       when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Default-knob entry (driver contract). */
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame =
+    cosineDedup(spark, dir, DedupPlanes, BandBits)
+
+  /** @param planes   signature width (planes = bands * bandBits)
+    * @param bandBits bits per band — the occupancy knob: per-band bucket
+    *                 count is 2^bandBits, so raise it with the corpus to
+    *                 keep candidate volume O(N · dup-cluster size) */
+  def cosineDedup(spark: SparkSession, dir: String, planes: Int,
+                  bandBits: Int): DataFrame = {
+    require(planes % bandBits == 0 && planes <= 62 && bandBits >= 1,
+      s"bad dedup knobs: planes=$planes bandBits=$bandBits")
+    val bands = planes / bandBits
     val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-      .withColumn("sig", signature(col("v")))
+      .withColumn("sig", signature(col("v"), planes))
     val banded = e.select(col("vec_id"), posexplode(
-      array((0 until DedupBands).map(b =>
-        shiftright(col("sig"), b * BandBits) % (1 << BandBits)): _*))
+      array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bandBits) % (1 << bandBits)): _*))
       .as(Seq("band", "bk")))
+    guardOccupancy("embed_cosine_dedup", banded, Seq("band", "bk"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -62,11 +62,21 @@ FROM documents GROUP BY 1 ORDER BY keep_id"""
 
   val DfCap = 25
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Default-knob entry (driver contract). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(spark, dir, DfCap)
+
+  /** @param dfCap document-frequency cap: shingles shared by more than
+    *              `dfCap` docs are dropped from candidate generation — the
+    *              knob bounding the shared-shingle self-join's worst-case
+    *              fan-out O(N · dfCap) (hot-token skew). Documented recall
+    *              trade: a pair sharing ONLY hot shingles is missed. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     val sh = shingleSet(docs(spark, dir))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("s")
+      .filter(col("df") <= dfCap).select("s")
     val kept = sh.join(rare, "s")
+    Similarity.guardOccupancy("dedup_ngram_jaccard", kept, Seq("s"))
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -101,15 +111,29 @@ ORDER BY a, b"""
   val MinhashK = 12
   val Bands = 4 // r = 3
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Default-knob entry (driver contract). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(spark, dir, MinhashK, Bands)
+
+  /** @param numHashes MinHash signature length K
+    * @param numBands  LSH bands (rows per band r = K/numBands). More rows
+    *                  per band -> fewer, purer candidates; more bands ->
+    *                  higher recall. The (K, bands) pair tunes the LSH
+    *                  S-curve to the Jaccard threshold at corpus scale. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String, numHashes: Int,
+                      numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"bad minhash knobs: K=$numHashes bands=$numBands")
+    val r = numHashes / numBands
     val sh = shingleSet(docs(spark, dir))
-    val sigCols = (0 until MinhashK).map(k =>
+    val sigCols = (0 until numHashes).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until Bands).map { b =>
+    val bands = (0 until numBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
-        concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as("bk"))
+        concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bk"))
     }.reduce(_ unionAll _)
+    Similarity.guardOccupancy("dedup_minhash_lsh", bands, Seq("band", "bk"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -180,6 +204,7 @@ ORDER BY a, b"""
     val banded = fp.select(col("doc_id"), col("fp"), posexplode(
       array((0 until SimhashBands).map(b =>
         shiftright(col("fp"), b * 8) % 256): _*)).as(Seq("band", "bk")))
+    Similarity.guardOccupancy("dedup_simhash", banded, Seq("band", "bk"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))

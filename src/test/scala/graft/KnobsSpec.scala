@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Similarity, TextPipeline}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-knob wiring for the bucketed candidate generators: the knobs must
+  * actually change the bucketing, the occupancy histogram must bound the
+  * candidate volume exactly, and the driver-contract defaults must be the
+  * tuned constants (oracles stay green). */
+class KnobsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("occupancy histogram is exact (buckets / max / candidate pairs)") {
+    import spark.implicits._
+    val banded = Seq(
+      (1L, 0, 7L), (2L, 0, 7L), (3L, 0, 7L), // bucket (0,7): n=3 -> 3 pairs
+      (4L, 0, 9L), (5L, 0, 9L), //              bucket (0,9): n=2 -> 1 pair
+      (6L, 1, 7L)) //                           bucket (1,7): n=1 -> 0 pairs
+      .toDF("vec_id", "band", "bk")
+    val o = Similarity.occupancy(banded, Seq("band", "bk"))
+    assert(o == Similarity.Occupancy(3, 3, 4))
+  }
+
+  test("candidate pairs of the banded joins never exceed the occupancy bound") {
+    // cosineDedup's candidate join is exactly the in-bucket self-join, so
+    // the DISTINCT pair count is <= the histogram's candidatePairs
+    val pairs = Similarity.cosineDedup(spark, sf, Similarity.DedupPlanes,
+      Similarity.BandBits)
+    import org.apache.spark.sql.functions._
+    val e = Similarity.embeddings(spark, sf)
+      .select(col("vec_id"),
+        Similarity.signature(
+          transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")),
+          Similarity.DedupPlanes).as("sig"))
+    val banded = e.select(col("vec_id"), posexplode(
+      array((0 until Similarity.DedupBands).map(b =>
+        shiftright(col("sig"), b * Similarity.BandBits) % (1 << Similarity.BandBits)): _*))
+      .as(Seq("band", "bk")))
+    val bound = Similarity.occupancy(banded, Seq("band", "bk")).candidatePairs
+    assert(pairs.count() <= bound,
+      s"verified pairs must be <= banded candidate volume $bound")
+    assert(bound > 0)
+  }
+
+  test("annLsh planes knob changes the bucketing and bounds occupancy") {
+    import org.apache.spark.sql.functions._
+    def maxOcc(planes: Int): Long = {
+      val e = Similarity.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")).as("v"))
+      val bucket = (0 until planes).map { p =>
+        val w = array((1 to Similarity.Dim).map(d => lit(Similarity.planeWeight(p, d))): _*)
+        when(aggregate(zip_with(col("v"), w, (x, y) => x * y), lit(0L), (a, x) => a + x) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      Similarity.occupancy(e.withColumn("bucket", bucket), Seq("bucket")).maxOccupancy
+    }
+    val occ2 = maxOcc(2)
+    val occ10 = maxOcc(10)
+    assert(occ10 < occ2,
+      s"raising planes 2 -> 10 must shrink the largest bucket ($occ2 -> $occ10)")
+    // the parameterized op itself runs at a non-default knob
+    assert(Similarity.annLsh(spark, sf, 10).count() > 0)
+  }
+
+  test("annIvf knobs: more clusters -> smaller inverted lists; probe respected") {
+    val res = Similarity.annIvf(spark, sf, 16, 3, 2).collect()
+    assert(res.nonEmpty)
+    val clustersPerQuery = res.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.map(_.getLong(2)).distinct.length }
+    assert(clustersPerQuery.forall(_ <= 3), "probe=3 must bound probed clusters")
+    assert(res.map(_.getLong(2)).distinct.forall(c => c >= 0 && c < 16))
+  }
+
+  test("ngram dfCap knob bounds hot-shingle fan-out") {
+    // dfCap = 1 keeps only unique shingles -> no shared-shingle candidates
+    assert(TextPipeline.dedupNgramJaccard(spark, sf, 1).count() == 0)
+    // default cap reproduces the driver-contract result
+    assert(TextPipeline.dedupNgramJaccard(spark, sf, TextPipeline.DfCap).count() ==
+      TextPipeline.dedupNgramJaccard(spark, sf).count())
+  }
+
+  test("minhash (K, bands) knob: r = K/bands wiring holds at non-defaults") {
+    // K=12, bands=6 -> r=2 (looser S-curve): candidates are a superset of
+    // the default 4x3 banding's VERIFIED pairs at the same threshold
+    val loose = TextPipeline.dedupMinhashLsh(spark, sf, 12, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = TextPipeline.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default.subsetOf(loose),
+      s"2-row bands must recall at least the 3-row bands' verified pairs")
+  }
+}
