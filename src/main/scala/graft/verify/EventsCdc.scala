@@ -251,12 +251,50 @@ object EventsCdc {
   val timeTravelOracle: String = cloneOracle(
     excl = "event_id < 3 * ((SELECT max(event_id) FROM events) // 4 + 1)")
 
+  /** Lineage contract: per (sid, batch), the applied LSN range (A1). The
+    * snapshot version each batch committed is deliberately NOT part of the
+    * oracle contract — it is engine bookkeeping (a batch carrying an R
+    * message commits TWICE: schema commit + data commit), and predicting
+    * commit counts in SQL is exactly the brittleness this query used to
+    * have. Instead, batch 2 here really does carry an R message, and the
+    * query verifies engine-side that every lineage entry resolves to a
+    * readable snapshot with strictly increasing versions — the property
+    * time travel depends on (qTimeTravel resolves versions the same way). */
   def qLineage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = replay(spark, dir, TableMapping("events", "events_state"), spec())
-    lake.snapshot().lineage
-      .map(l => (l.sid, l.batchId, l.minLsn, l.maxLsn, l.snapshotVersion))
-      .toDF("sid", "batch_id", "min_lsn", "max_lsn", "snapshot_version")
+    val events = derive(spark, dir)
+    val tmp = Files.createTempDirectory("graft-lin").toString
+    val lake = LakeTable.create(spark, s"$tmp/t", spec())
+    val mapping = TableMapping("events", "events_state")
+    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("event_id")).head().getLong(0)
+    val per = maxLsn / Batches + 1
+    (0 until Batches).foreach { b =>
+      var batch = events.filter(e => e.lsn >= b * per && e.lsn < (b + 1) * per)
+      if (b == 2) {
+        // an R message makes this a multi-commit batch (schema evolution
+        // commits before the merge) — the lineage rows must not care
+        val rel = ChangeEvent(b * per, 0, "R", "events", "s0", "none",
+          Map.empty, Map("user_id" -> "bigint", "event_type" -> "string",
+            "value" -> "double", "props" -> "string", "ts" -> "timestamp",
+            "lineage_note" -> "string"))
+        batch = batch.unionByName(Seq(rel).toDS())
+      }
+      Replay.applyBatch(lake, batch, mapping, b)
+    }
+    val lin = lake.snapshot().lineage.sortBy(_.batchId)
+    // engine-side resolution check: versions strictly increase and each
+    // lineage snapshot is readable (the time-travel contract)
+    lin.map(_.snapshotVersion).sliding(2).foreach {
+      case Seq(a, b2) => if (a >= b2)
+        throw new IllegalStateException(s"lineage versions not increasing: $lin")
+      case _ =>
+    }
+    lin.foreach(l => lake.read(version = l.snapshotVersion).schema)
+    if (!lake.schema.fieldNames.contains("lineage_note"))
+      throw new IllegalStateException("R message did not evolve the schema")
+    lin.map(l => (l.sid, l.batchId, l.minLsn, l.maxLsn))
+      .toDF("sid", "batch_id", "min_lsn", "max_lsn")
       .orderBy("batch_id")
   }
 
@@ -350,7 +388,38 @@ object EventsCdc {
         .start()
         .awaitTermination() // conf scope must cover async batch planning
     }
-    spark.table(qname).orderBy("window_start")
+    val result = spark.table(qname).orderBy("window_start")
+
+    // Loud calibration guard: the DuckDB oracle encodes an empirically
+    // calibrated watermark-propagation model (effective watermark of batch
+    // N = max event time through batch N-2, Spark 4.1 AvailableNow). If a
+    // Spark upgrade ever changes that timing, fail HERE with a diagnostic
+    // instead of silently hash-mismatching against the oracle downstream.
+    val vname = qname + "_raw"
+    raw.createOrReplaceTempView(vname)
+    val model = spark.sql(
+      s"""WITH e AS (SELECT *, event_id % $Batches AS b FROM $vname),
+mx AS (SELECT b, max(ts) AS mts FROM e GROUP BY b),
+wmb AS (SELECT b, max(mts) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+          - INTERVAL 12 HOUR AS wm FROM mx),
+kept AS (SELECT e.* FROM e JOIN wmb USING (b) WHERE wmb.wm IS NULL OR e.ts > wmb.wm),
+fw AS (SELECT max(ts) - INTERVAL 12 HOUR AS wm FROM $vname),
+agg AS (SELECT date_trunc('DAY', ts) AS window_start, count(*) AS n,
+          CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sv_e3
+        FROM kept GROUP BY 1)
+SELECT CAST(window_start AS TIMESTAMP_NTZ) AS window_start,
+  CAST(window_start + INTERVAL 1 DAY AS TIMESTAMP_NTZ) AS window_end, n, sv_e3
+FROM agg, fw WHERE window_start + INTERVAL 1 DAY <= fw.wm
+ORDER BY window_start""")
+    val got = result.collect().map(_.toSeq).toSeq
+    val want = model.collect().map(_.toSeq).toSeq
+    if (got != want)
+      throw new IllegalStateException(
+        "watermark calibration drift: Spark's streaming watermark " +
+          "propagation no longer matches the batch-(N-2) model the oracle " +
+          s"encodes — recalibrate watermarkAggOracle.\nengine=$got\nmodel=$want")
+    result
   }
 
   /** DuckDB recomputation of the watermark semantics, calibrated against
@@ -560,8 +629,7 @@ ORDER BY user_id, kvsz_start, kvsz_end"""
   val lineageOracle: String =
     """WITH p AS (SELECT max(event_id)//4 + 1 AS per FROM events),
 b AS (SELECT event_id // per AS batch_id, event_id FROM events, p)
-SELECT 's0' AS sid, batch_id, min(event_id) AS min_lsn, max(event_id) AS max_lsn,
-  batch_id + 2 AS snapshot_version
+SELECT 's0' AS sid, batch_id, min(event_id) AS min_lsn, max(event_id) AS max_lsn
 FROM b GROUP BY batch_id ORDER BY batch_id"""
 
   val metricsOracle: String =
