@@ -132,17 +132,31 @@ object History {
     val routed = Replay.filterTransform(routed0, mapping, envSchema)
 
     locally {
+      // ONE stats pass over the batch (map-side partial agg, tiny result)
+      // yields R-detection, emptiness, per-sid lineage and the per-batch op
+      // counters — the same single-aggregation shape as Replay.applyBatch
+      // (three separate passes cost three scans at micro-batch cadence)
+      val stats = routed.toDF().select("sid", "op", "lsn")
+        .groupBy("sid", "op")
+        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val dml = stats.filter(s => s._2 == "I" || s._2 == "U" || s._2 == "D")
+
       // R-message schema evolution, before the apply (north rule) — same
-      // evolve-then-merge contract as clone mode
-      val rels = routed.filter(col("op") === "R").collect().map(_.after).toSeq
-      if (rels.nonEmpty) Replay.evolveSchema(lake, rels)
+      // evolve-then-merge contract as clone mode; the R rows themselves are
+      // a bounded-small collect, taken only when the stats saw one
+      if (stats.exists(_._2 == "R")) {
+        val rels = routed.filter(col("op") === "R").collect().map(_.after).toSeq
+        Replay.evolveSchema(lake, rels)
+      }
 
       val snap0 = lake.snapshot()
       val schema = snap0.schema
       val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
 
-      val dmlCount = routed.filter(col("op").isin("I", "U", "D")).limit(1).count()
-      if (dmlCount == 0) {
+      if (dml.isEmpty) {
         lake.commit(Nil, Set.empty, properties = Map(epochKey -> batchId.toString))
         return true
       }
@@ -179,37 +193,48 @@ object History {
       val target = lake.read(buckets = Some(touched)).alias("t")
       val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c")).reduce(_ && _)
       val isOpen = col("t.kvsz_end") === lit(KVSZ_OPEN).cast(TimestampType)
+      // merge-outcome counters observed ON the join (CollectMetrics — no
+      // extra pass): pre-existing open versions closed by this batch, and
+      // how many of those were soft deletes — clone-mode parity for the
+      // reference's per-op result counters (`streamer/metrics.go:11-53`)
+      val obs = org.apache.spark.sql.Observation(s"graft-hist-$batchId")
+      val closing = col("x.__closeT").isNotNull && isOpen
       val updatedTarget = target.join(cdf.alias("x"), joinCond, "left_outer")
+        .observe(obs,
+          sum(when(closing, 1L).otherwise(0L)).as("closed"),
+          sum(when(closing && col("x.__closeDel"), 1L).otherwise(0L)).as("soft_deleted"))
         .select(schema.fields.map { f =>
           f.name match {
             case "kvsz_end" =>
-              when(col("x.__closeT").isNotNull && isOpen, col("x.__closeT"))
+              when(closing, col("x.__closeT"))
                 .otherwise(col("t.kvsz_end")).as(f.name)
             case "kvsz_deleted" =>
-              when(col("x.__closeT").isNotNull && isOpen && col("x.__closeDel"),
+              when(closing && col("x.__closeDel"),
                 lit(true)).otherwise(col("t.kvsz_deleted")).as(f.name)
             case n => col(s"t.$n").as(n)
           }
         }.toIndexedSeq: _*)
 
-      val merged = updatedTarget.unionByName(newTyped)
+      val obsNew = org.apache.spark.sql.Observation(s"graft-hist-new-$batchId")
+      val merged = updatedTarget.unionByName(
+        newTyped.observe(obsNew, count(lit(1)).as("inserted")))
       val withBucket = merged.withColumn("__bucket",
         pmod(xxhash64(snap0.bucketCols.map(col): _*), lit(snap0.numBuckets)))
 
       val newFiles = lake.writeDataFiles(withBucket, snap0.currentSchemaId)
       val removed = snap0.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
-      // one stats pass: lineage per sid + per-batch op counters (A3 sidecar)
-      val stats = routed.toDF().filter(!col("op").isin("R", "T"))
-        .groupBy("sid", "op").agg(min("lsn"), max("lsn"), count(lit(1)))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          r.getLong(4)))
-      val lin = stats.groupBy(_._1).map { case (sid, ss) =>
+      // the write job ran -> both observations are available (a batch with
+      // no closers joins zero rows, so its sums observe as null -> 0)
+      val m = (obs.get ++ obsNew.get).map { case (k, v) =>
+        k -> Option(v).map(_.asInstanceOf[Long]).getOrElse(0L) }
+      val lin = dml.groupBy(_._1).map { case (sid, ss) =>
         LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)
       }.toSeq
       lake.writeMetrics(s"$epochKey-$batchId",
-        stats.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n) =>
-          (batchId, sid, "op", op, n) })
+        dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n) =>
+          (batchId, sid, "op", op, n) } ++
+          m.toSeq.sortBy(_._1).map { case (k, v) =>
+            (batchId, null: String, "merge", k, v) })
       lake.commit(newFiles, removed,
         properties = Map(
           epochKey -> batchId.toString,

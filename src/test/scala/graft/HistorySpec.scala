@@ -223,4 +223,36 @@ class HistorySpec extends AnyFunSuite {
     assert(r1.getAs[Boolean]("kvsz_deleted")) // soft-deleted open version
     assert(r1.getAs[java.sql.Timestamp]("kvsz_end").toString.startsWith("2001-01-01"))
   }
+
+  test("history _metrics: op counters + merge outcomes, clone-mode parity") {
+    import spark.implicits._
+    val spec = Transcripts.spec(numBuckets = 2)
+      .copy(schema = History.historySchema(Transcripts.schema))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("histmet"), spec)
+    def t(c: String, txt: String) = Map("conv_id" -> c, "turn_idx" -> "0",
+      "role" -> "user", "text" -> txt, "tool" -> null,
+      "ts" -> "2024-01-01 00:00:00")
+    // batch 0: two inserts (no pre-existing versions -> nothing closes)
+    History.applyBatch(lake, Seq(
+      ChangeEvent(1, 0, "I", "transcripts", "s0", "none", Map.empty, t("a", "x")),
+      ChangeEvent(2, 0, "I", "transcripts", "s0", "none", Map.empty, t("b", "y")))
+      .toDS(), mapping, 0)
+    // batch 1: update a (closes a's open version + one new version),
+    // delete b (soft-closes b's open version)
+    History.applyBatch(lake, Seq(
+      ChangeEvent(3, 0, "U", "transcripts", "s0", "none", Map.empty, t("a", "x2")),
+      ChangeEvent(4, 0, "D", "transcripts", "s0", "K",
+        Map("conv_id" -> "b", "turn_idx" -> "0"), Map.empty))
+      .toDS(), mapping, 1)
+    val m = lake.metrics().collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(m.contains((0L, "op", "I", 2L)))
+    assert(m.contains((0L, "merge", "inserted", 2L)))
+    assert(m.contains((0L, "merge", "closed", 0L)))
+    assert(m.contains((1L, "op", "U", 1L)))
+    assert(m.contains((1L, "op", "D", 1L)))
+    assert(m.contains((1L, "merge", "inserted", 1L)), s"got $m")
+    assert(m.contains((1L, "merge", "closed", 2L)), s"got $m")
+    assert(m.contains((1L, "merge", "soft_deleted", 1L)), s"got $m")
+  }
 }
