@@ -337,9 +337,9 @@ object EventsCdc {
         .start()
         .awaitTermination() // conf scope must cover async batch planning
     }
-    // latest emission per key (apps is monotone), live keys only
+    // latest emission per key (ord is globally monotone), live keys only
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy(col("apps").desc)
+      .partitionBy("key").orderBy(col("ord").desc)
     spark.table(qname)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .filter(col("exists"))

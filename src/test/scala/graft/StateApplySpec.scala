@@ -21,7 +21,7 @@ class StateApplySpec extends AnyFunSuite {
 
   private def finalStates(df: org.apache.spark.sql.DataFrame): Map[String, Map[String, String]] = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy(col("apps").desc)
+      .partitionBy("key").orderBy(col("ord").desc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .filter(col("exists")).select("key", "row").collect()
       .map(r => r.getString(0) -> r.getMap[String, String](1).toMap).toMap
@@ -91,5 +91,65 @@ class StateApplySpec extends AnyFunSuite {
       val k = key.split(StateApply.KeySep, -1).toSeq
       assert(want.contains(k), s"key $k live in state store but not in oracle")
     }
+  }
+
+  test("tombstone eviction bounds delete-heavy state; reinsert stays correct") {
+    val dir = SparkTestBase.tmpDir("statettl")
+    def ev(lsn: Long, op: String, k: String, txt: String = null): ChangeEvent = {
+      val key = Map("conv_id" -> k, "turn_idx" -> "0")
+      op match {
+        case "I" => ChangeEvent(lsn, 0, "I", "transcripts", "s0", "none",
+          Map.empty, key + ("role" -> "user") + ("text" -> txt))
+        case "D" => ChangeEvent(lsn, 0, "D", "transcripts", "s0", "K",
+          key, Map.empty)
+      }
+    }
+    // seg0: insert 20 keys, delete 15 of them -> 15 tombstones + 5 live.
+    // With ttl = 50 LSN-seconds the tombstones (deleted at lsn 100-114)
+    // expire once the LSN watermark passes 150-164 — i.e. in the batch
+    // after seg1 (lsn 200) advances the watermark.
+    val seg0 = (0 until 20).map(i => ev(i + 1, "I", s"k$i", s"v$i")) ++
+      (0 until 15).map(i => ev(100 + i, "D", s"k$i"))
+    // seg1: unrelated insert; advances the watermark past every timer
+    val seg1 = Seq(ev(200, "I", "fresh", "f"))
+    // seg2: re-insert k0 AFTER its tombstone evicted
+    val seg2 = Seq(ev(300, "I", "k0", "reborn"))
+    Seq(seg0, seg1, seg2).zipWithIndex.foreach { case (s, i) =>
+      spark.createDataset(s).toDF().coalesce(1)
+        .write.parquet(f"$dir/wal/seg-$i%05d")
+    }
+
+    val src = spark.readStream.schema(ChangeEvent.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/wal/seg-*").as[ChangeEvent]
+    val q = StateApply.stream(src, mergeKey,
+        tombstoneTtl = Some(java.time.Duration.ofSeconds(50))).toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    q.awaitTermination()
+
+    // state stayed bounded: the 15 tombstones are gone by the last batch
+    // (5 live + fresh + reborn k0 = 7 state rows)
+    val lastRows = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+    assert(lastRows.nonEmpty)
+    assert(lastRows.last <= 7,
+      s"state must shed expired tombstones, got ${lastRows.last} rows " +
+        s"(history: $lastRows)")
+
+    // resume/reinsert correctness: max-ord pick gives the reborn row even
+    // though the tombstone's state (and its counter) was evicted
+    val fin = finalStates(spark.read.parquet(s"$dir/out"))
+    val k0 = fin.getOrElse("k0" + StateApply.KeySep + "0", fail("k0 must be live"))
+    assert(k0("text") == "reborn")
+    assert(!fin.contains("k1" + StateApply.KeySep + "0"), "deleted keys stay dead")
+    assert(fin.contains("k15" + StateApply.KeySep + "0"))
+    assert(fin.contains("fresh" + StateApply.KeySep + "0"))
   }
 }
