@@ -5,17 +5,35 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import graft.model.TableSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
+/** Per-file min/max of one column (zone map), both rendered as strings
+  * (integral columns in canonical decimal, strings verbatim) and compared
+  * type-aware at prune time. */
+final case class ColStats(min: String, max: String)
+
 /** One registered data file. `bucket` is the hash-bucket of the merge key's
   * bucket columns — merge rewrites only buckets containing touched keys
   * (manifest-level pruning, the lake analog of the reference's partition
-  * routing, `streamer/map.go:143-158`). */
-final case class DataFile(path: String, bucket: Int, bytes: Long, schemaId: Int)
+  * routing, `streamer/map.go:143-158`). `stats` carries per-key-column
+  * min/max harvested from the parquet FOOTER at write time (no data
+  * re-scan) — zone maps, giving selective reads the same manifest-level
+  * pruning the merge gets from buckets. */
+final case class DataFile(path: String, bucket: Int, bytes: Long, schemaId: Int,
+                          stats: Map[String, ColStats] = Map.empty) {
+  /** Null-safe accessor (manifests written before zone maps lack the field). */
+  def statsOrEmpty: Map[String, ColStats] = if (stats == null) Map.empty else stats
+}
+
+/** Zone predicate for [[LakeTable.read]]: inclusive [lo, hi] bounds on one
+  * column; a file is scanned unless its recorded stats PROVE no overlap
+  * (missing stats => scanned — pruning is never allowed to lose rows). */
+final case class Zone(col: String, lo: Option[String] = None,
+                      hi: Option[String] = None)
 
 /** Per-source lineage entry: which LSN range of which source partition (sid)
   * was applied by which batch into which snapshot (north-rule lineage). */
@@ -94,14 +112,51 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     pmod(xxhash64(s.bucketCols.map(colFor): _*), lit(s.numBuckets))
   }
 
+  /** Type-aware comparison for zone-map bounds: integral columns compare
+    * numerically, everything else lexicographically (how the stats were
+    * rendered). */
+  private def statCompare(dt: DataType)(a: String, b: String): Int = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case _ => a.compareTo(b)
+  }
+
+  /** The files a (buckets, zones)-constrained scan must read: bucket
+    * pruning first, then zone-map pruning — a file survives unless some
+    * zone's [lo, hi] provably misses its recorded [min, max]. */
+  private[graft] def selectFiles(version: Long = -1L,
+                                 buckets: Option[Set[Int]] = None,
+                                 zones: Seq[Zone] = Nil): Seq[DataFile] = {
+    val s = snapshot(version)
+    val want = buckets.getOrElse(null)
+    val schema = s.schema
+    s.files
+      .filter(f => want == null || want.contains(f.bucket))
+      .filter { f =>
+        zones.forall { z =>
+          (f.statsOrEmpty.get(z.col), schema.fields.find(_.name == z.col)) match {
+            case (Some(st), Some(fld)) =>
+              val cmp = statCompare(fld.dataType) _
+              z.lo.forall(lo => cmp(st.max, lo) >= 0) &&
+                z.hi.forall(hi => cmp(st.min, hi) <= 0)
+            case _ => true // no stats / unknown column: must scan
+          }
+        }
+      }
+  }
+
   /** Read the current (or a past) snapshot, aligned to its schema.
     * Files are grouped by the schema they were written with; each group is
     * scanned with its exact stored schema and projected/cast to the
-    * snapshot schema (add-column -> null, widen int->long -> cast). */
-  def read(version: Long = -1L, buckets: Option[Set[Int]] = None): DataFrame = {
+    * snapshot schema (add-column -> null, widen int->long -> cast).
+    * `zones` prunes by the per-file min/max zone maps; note the surviving
+    * files may still contain rows outside the zone — apply the row-level
+    * filter on the returned frame (pruning is an I/O optimization, not a
+    * predicate). */
+  def read(version: Long = -1L, buckets: Option[Set[Int]] = None,
+           zones: Seq[Zone] = Nil): DataFrame = {
     val s = snapshot(version)
-    val want = buckets.getOrElse(null)
-    val files = s.files.filter(f => want == null || want.contains(f.bucket))
+    val files = selectFiles(version, buckets, zones)
     val cur = s.schema
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur)
@@ -126,6 +181,17 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   def writeDataFiles(df: DataFrame, schemaId: Int): Seq[DataFile] = {
     val tmp = dataDir.resolve(s"tmp-${UUID.randomUUID()}")
     df.repartition(col("__bucket")).write.partitionBy("__bucket").parquet(tmp.toString)
+    val snap = snapshot()
+    // zone-map columns: the merge key, restricted to stat-comparable types
+    val written = DataType.fromJson(snap.schemas(schemaId.toString))
+      .asInstanceOf[StructType]
+    val statCols: Map[String, DataType] =
+      ((if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols)
+        .flatMap(c => written.fields.find(_.name == c))
+        .collect { case f if (f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | StringType => true
+          case _ => false
+        }) => f.name -> f.dataType }.toMap
     val out = scala.collection.mutable.ArrayBuffer[DataFile]()
     Files.list(tmp).iterator.asScala
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
@@ -136,11 +202,52 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           .foreach { f =>
             val dest = dataDir.resolve(s"b$bucket-${UUID.randomUUID()}.parquet")
             Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
-            out += DataFile(dest.toString, bucket, Files.size(dest), schemaId)
+            out += DataFile(dest.toString, bucket, Files.size(dest), schemaId,
+              footerStats(dest, statCols))
           }
       }
     deleteRecursively(tmp)
     out.toSeq
+  }
+
+  /** Harvest per-column min/max from the parquet FOOTER (row-group
+    * statistics — no data pages are read). This is how lake writers record
+    * zone maps at scale: the writer already produced the stats; the
+    * manifest just keeps them queryable without opening files. */
+  private def footerStats(p: Path, statCols: Map[String, DataType]): Map[String, ColStats] = {
+    if (statCols.isEmpty) return Map.empty
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+    try {
+      def render(v: Any): String = v match {
+        case b: Binary => b.toStringUsingUTF8
+        case x => x.toString
+      }
+      val acc = scala.collection.mutable.Map[String, ColStats]()
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          statCols.get(name).foreach { dt =>
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val (mn, mx) = (render(st.genericGetMin), render(st.genericGetMax))
+              val cmp = statCompare(dt) _
+              acc(name) = acc.get(name) match {
+                case Some(prev) => ColStats(
+                  if (cmp(mn, prev.min) < 0) mn else prev.min,
+                  if (cmp(mx, prev.max) > 0) mx else prev.max)
+                case None => ColStats(mn, mx)
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
   }
 
   /** Atomic commit: next manifest version via fail-if-exists rename.
