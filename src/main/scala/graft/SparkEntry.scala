@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextPipeline.dedupNgramJaccard,
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLsh,
     "dedup_simhash" -> TextPipeline.dedupSimhash,
+    "dedup_incremental" -> TextPipeline.dedupIncremental,
     "text_lang_id" -> TextPipeline.langId,
     "text_quality" -> TextPipeline.quality,
     "text_tokens" -> TextPipeline.tokenCount,
@@ -98,6 +99,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextPipeline.dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLshOracle,
     "dedup_simhash" -> TextPipeline.dedupSimhashOracle,
+    "dedup_incremental" -> TextPipeline.dedupIncrementalOracle,
     "text_lang_id" -> TextPipeline.langIdOracle,
     "text_quality" -> TextPipeline.qualityOracle,
     "text_tokens" -> TextPipeline.tokenCountOracle,

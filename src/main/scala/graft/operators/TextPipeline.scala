@@ -234,6 +234,106 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   }
 
   // ---------------------------------------------------------------------
+  // D5: INCREMENTAL dedup — the composition the CDC half of this engine
+  // needs: a continuously-ingesting lake cannot re-shingle 100 TB of
+  // corpus text per new shard. Instead, MinHash signatures are persisted
+  // as a lake-side signatures table at ingest time (one-time cost per
+  // document), and a new batch dedups against the CORPUS SIGNATURES ONLY:
+  //   - candidates: LSH band join (delta bands x corpus bands, hash join);
+  //   - verify: signature agreement (matching minhashes / K estimates
+  //     Jaccard; E[match] = jac * K) — no corpus text re-scan, by
+  //     construction.
+  // Corpus-side cost per delta batch: a scan of the (tiny, K-column)
+  // signatures table — O(corpus docs), not O(corpus bytes); at 100 TB the
+  // signatures table is ~4 orders of magnitude smaller than the text.
+  // ---------------------------------------------------------------------
+
+  /** Signature-agreement verify threshold: >= 9 of K=12 matching
+    * minhashes estimates Jaccard >= 0.75 (E[match] = jac*K = 9.6 at the
+    * 0.8 near-dup bar). */
+  val IncMinMatch = 9
+
+  /** MinHash signature table for a document set: one row per doc,
+    * h0..h{K-1} md5-min signatures — the persisted ingest artifact. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val sh = shingleSet(d)
+    val sigCols = (0 until MinhashK).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Band rows (doc_id, band, bk) derived from a signature table — pure
+    * column arithmetic on the signatures, no text. */
+  private def sigBands(sig: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as("bk"))
+    }.reduce(_ unionAll _)
+
+  /** Dedup a new document batch against a PERSISTED corpus signature
+    * table: band-join candidates, signature-agreement verify. The only
+    * text scanned is the delta's. */
+  def dedupAgainstSignatures(corpusSigs: DataFrame, delta: DataFrame): DataFrame = {
+    val deltaSigs = minhashSignatures(delta)
+    val cand = sigBands(corpusSigs).as("x").join(sigBands(deltaSigs).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"))
+      .distinct()
+    Similarity.guardOccupancy("dedup_incremental", sigBands(corpusSigs),
+      Seq("band", "bk"))
+    val ca = corpusSigs.select(col("doc_id").as("corpus_id") +:
+      (0 until MinhashK).map(k => col(s"h$k").as(s"a_h$k")): _*)
+    val cb = deltaSigs.select(col("doc_id").as("new_id") +:
+      (0 until MinhashK).map(k => col(s"h$k").as(s"b_h$k")): _*)
+    cand.join(ca, "corpus_id").join(cb, "new_id")
+      .withColumn("match_cnt", (0 until MinhashK).map(k =>
+        when(col(s"a_h$k") === col(s"b_h$k"), 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("match_cnt") >= IncMinMatch)
+      .withColumn("jac_est_e3", expr(s"match_cnt * 1000L div $MinhashK"))
+      .select("corpus_id", "new_id", "match_cnt", "jac_est_e3")
+      .orderBy("corpus_id", "new_id")
+  }
+
+  /** Driver-contract entry: the first 4/5 of the documents table plays the
+    * ingested corpus (signatures persisted to parquet — the lake shape),
+    * the last 1/5 plays the newly-arriving batch. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val sigPath = java.nio.file.Files
+      .createTempDirectory("graft-sigs").toString + "/signatures.parquet"
+    // ingest phase: corpus text scanned ONCE to build the signature table
+    minhashSignatures(d.filter(col("doc_id") < split)).write.parquet(sigPath)
+    // steady state: delta text + corpus SIGNATURES only
+    dedupAgainstSignatures(spark.read.parquet(sigPath),
+      d.filter(col("doc_id") >= split))
+  }
+
+  val dedupIncrementalOracle: String = {
+    val sigCols = (0 until MinhashK)
+      .map(k => s"min(md5('$k|' || s)) AS h$k").mkString(", ")
+    def bandRows(src: String) = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS bk FROM $src")
+      .mkString("\n  UNION ALL ")
+    val matchSum = (0 until MinhashK)
+      .map(k => s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleSetSql,
+sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+mhc AS (SELECT doc_id, $sigCols FROM sh, sp WHERE doc_id < split GROUP BY doc_id),
+mhd AS (SELECT doc_id, $sigCols FROM sh, sp WHERE doc_id >= split GROUP BY doc_id),
+bc AS (${bandRows("mhc")}),
+bd AS (${bandRows("mhd")}),
+cand AS (SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS new_id
+         FROM bc x JOIN bd y ON x.band = y.band AND x.bk = y.bk),
+m AS (SELECT c.corpus_id, c.new_id, CAST($matchSum AS BIGINT) AS match_cnt
+      FROM cand c JOIN mhc a ON a.doc_id = c.corpus_id
+           JOIN mhd b ON b.doc_id = c.new_id)
+SELECT corpus_id, new_id, match_cnt, match_cnt * 1000 // $MinhashK AS jac_est_e3
+FROM m WHERE match_cnt >= $IncMinMatch
+ORDER BY corpus_id, new_id"""
+  }
+
+  // ---------------------------------------------------------------------
   // T1: language ID — marker-word heuristic (deterministic n-gram-free
   // fallback chain; real corpora would use char-n-gram profiles)
   // ---------------------------------------------------------------------

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Similarity, TextPipeline}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Scale-knob wiring for the bucketed candidate generators: the knobs must
@@ -79,6 +80,50 @@ class KnobsSpec extends AnyFunSuite {
     // default cap reproduces the driver-contract result
     assert(TextPipeline.dedupNgramJaccard(spark, sf, TextPipeline.DfCap).count() ==
       TextPipeline.dedupNgramJaccard(spark, sf).count())
+  }
+
+  test("incremental dedup: new batch vs persisted signatures, no corpus text rescan") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("incdedup")
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok30 ", "swapped ") // 1 of 60 tokens differs
+    // corpus = ids 0..7 (split = 8), delta = ids 8, 9
+    val docs = ((0L until 7L).map(i =>
+      (i, s"corpus doc number $i with words " + (0 until 30).map(j => s"w$i-$j").mkString(" "),
+        "en", "s", 100L)) ++ Seq(
+      (7L, base, "en", "s", base.length.toLong),
+      (8L, near, "en", "s", near.length.toLong), // near-dup of corpus doc 7
+      (9L, "entirely unrelated fresh content here", "en", "s", 38L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val res = TextPipeline.dedupIncremental(spark, dir)
+    val pairs = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 8L)),
+      s"delta doc 8 must match corpus doc 7 (and nothing else): $pairs")
+    // signature-estimate is exact integer arithmetic
+    val row = res.collect().head
+    assert(row.getLong(2) >= TextPipeline.IncMinMatch)
+    assert(row.getLong(3) == row.getLong(2) * 1000 / TextPipeline.MinhashK)
+
+    // steady-state phase plan: the only documents scan is the DELTA side
+    // (pushed filter doc_id >= split); corpus content arrives via the
+    // signatures parquet
+    val sigPath = s"$dir/sigs.parquet"
+    TextPipeline.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 8))
+      .write.parquet(sigPath)
+    val phase2 = TextPipeline.dedupAgainstSignatures(
+      spark.read.parquet(sigPath),
+      spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") >= 8))
+    val plan = phase2.queryExecution.executedPlan.toString
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("documents.parquet") && l.contains("FileScan")).toSeq
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(_.contains("GreaterThanOrEqual(doc_id,8)")),
+      s"every documents scan must be the pushed-down delta slice:\n$docScans")
+    assert(phase2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 8L)))
   }
 
   test("minhash (K, bands) knob: r = K/bands wiring holds at non-defaults") {
