@@ -193,16 +193,17 @@ object History {
       val target = lake.read(buckets = Some(touched)).alias("t")
       val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c")).reduce(_ && _)
       val isOpen = col("t.kvsz_end") === lit(KVSZ_OPEN).cast(TimestampType)
-      // merge-outcome counters observed ON the join (CollectMetrics — no
-      // extra pass): pre-existing open versions closed by this batch, and
-      // how many of those were soft deletes — clone-mode parity for the
-      // reference's per-op result counters (`streamer/metrics.go:11-53`)
-      val obs = org.apache.spark.sql.Observation(s"graft-hist-$batchId")
+      // Merge-outcome counters observed on the UNION via marker columns
+      // (CollectMetrics — no extra pass): pre-existing open versions closed
+      // by this batch, soft deletes among them, new version rows — clone-
+      // mode parity for the reference's per-op result counters
+      // (`streamer/metrics.go:11-53`). ONE observation, attached to a node
+      // descending from the target side: inside foreachBatch the batch DF
+      // belongs to the micro-batch's cloned session, and an Observation
+      // registered there never sees the write (which executes on the lake's
+      // session) — two separate observations deadlocked on exactly that.
       val closing = col("x.__closeT").isNotNull && isOpen
       val updatedTarget = target.join(cdf.alias("x"), joinCond, "left_outer")
-        .observe(obs,
-          sum(when(closing, 1L).otherwise(0L)).as("closed"),
-          sum(when(closing && col("x.__closeDel"), 1L).otherwise(0L)).as("soft_deleted"))
         .select(schema.fields.map { f =>
           f.name match {
             case "kvsz_end" =>
@@ -213,19 +214,29 @@ object History {
                 lit(true)).otherwise(col("t.kvsz_deleted")).as(f.name)
             case n => col(s"t.$n").as(n)
           }
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq :+ closing.as("__closed") :+
+          (closing && col("x.__closeDel")).as("__softdel") :+
+          lit(false).as("__isnew"): _*)
 
-      val obsNew = org.apache.spark.sql.Observation(s"graft-hist-new-$batchId")
-      val merged = updatedTarget.unionByName(
-        newTyped.observe(obsNew, count(lit(1)).as("inserted")))
+      val obs = org.apache.spark.sql.Observation(s"graft-hist-$batchId")
+      val merged = updatedTarget
+        .unionByName(newTyped
+          .withColumn("__closed", lit(false))
+          .withColumn("__softdel", lit(false))
+          .withColumn("__isnew", lit(true)))
+        .observe(obs,
+          sum(when(col("__closed"), 1L).otherwise(0L)).as("closed"),
+          sum(when(col("__softdel"), 1L).otherwise(0L)).as("soft_deleted"),
+          sum(when(col("__isnew"), 1L).otherwise(0L)).as("inserted"))
+        .drop("__closed", "__softdel", "__isnew")
       val withBucket = merged.withColumn("__bucket",
         pmod(xxhash64(snap0.bucketCols.map(col): _*), lit(snap0.numBuckets)))
 
       val newFiles = lake.writeDataFiles(withBucket, snap0.currentSchemaId)
       val removed = snap0.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
-      // the write job ran -> both observations are available (a batch with
-      // no closers joins zero rows, so its sums observe as null -> 0)
-      val m = (obs.get ++ obsNew.get).map { case (k, v) =>
+      // the write job ran -> the observation is available (an all-empty
+      // union observes its sums as null -> 0)
+      val m = obs.get.map { case (k, v) =>
         k -> Option(v).map(_.asInstanceOf[Long]).getOrElse(0L) }
       val lin = dml.groupBy(_._1).map { case (sid, ss) =>
         LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)

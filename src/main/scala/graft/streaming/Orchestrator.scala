@@ -116,4 +116,48 @@ object Orchestrator {
     hs.foreach(_.query.awaitTermination())
     hs
   }
+
+  /** Live map reload: run repeated AvailableNow drain cycles, re-reading
+    * the map FILE whenever its mtime changes — the analog of the reference
+    * watching its config file and restarting streams on change
+    * (`streamer/config.go:180-186`, restart channel
+    * `handle_url.go:242-245`). Reload semantics across cycles:
+    *
+    *   - ADDED table: routed from the next cycle; its initial full sync
+    *     runs automatically (the "new table on an existing slot" rule —
+    *     the per-(table, sid) `full-sync-*` property makes it exactly-once);
+    *   - REMOVED table: routing stops; the TARGET TABLE IS KEPT as-is
+    *     (the reference never drops destination tables; re-adding the
+    *     entry resumes routing without a duplicate sync);
+    *   - unchanged tables: checkpoints + per-(stream, mapping) epochs make
+    *     every cycle a pure resume — no replay, no loss.
+    *
+    * Runs until `until()` turns true; returns the number of completed
+    * drain cycles. */
+  def runWatched(spark: SparkSession, mapPath: String, targetsRoot: String,
+                 specs: Map[String, TableSpec], checkpointRoot: String,
+                 backfill: (String, String) => Option[DataFrame] = (_, _) => None,
+                 salts: Int = 0,
+                 pollMs: Long = 200,
+                 until: () => Boolean): Int = {
+    var cycles = 0
+    var lastMtime = Long.MinValue
+    var dbMap: MapConfig.DbMap = null
+    while (!until()) {
+      val mt = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(mapPath)).toMillis
+      if (dbMap == null || mt != lastMtime) {
+        if (dbMap != null)
+          System.err.println(s"[orchestrator] map file changed — rebuilding routes")
+        lastMtime = mt
+        dbMap = MapConfig.load(mapPath)
+      }
+      val hs = start(spark, dbMap, targetsRoot, specs, checkpointRoot,
+        backfill, salts)
+      hs.foreach(_.query.awaitTermination())
+      cycles += 1
+      if (!until()) Thread.sleep(pollMs)
+    }
+    cycles
+  }
 }

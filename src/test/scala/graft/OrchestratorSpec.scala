@@ -149,6 +149,71 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(hist.snapshot().properties("commit-epoch-app-s0-transcripts_h").toLong >= 1)
   }
 
+  test("watched map: add AND remove a table across live drain cycles") {
+    val dir = SparkTestBase.tmpDir("orchwatch")
+    val cfg = Gen.Config(numEvents = 2000, numConvs = 20, seed = 601)
+    // half the WAL now, half lands while watching
+    Gen.writeSegments(spark, cfg, s"$dir/wal", 4, 0 until 2)
+    def mapWith(tables: String): Unit = Files.writeString(Paths.get(s"$dir/map.json"),
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{$tables}}]}""".stripMargin)
+    mapWith(""""transcripts":{"type":"clone","target":"t_a"}""")
+    val specs = Map(
+      "t_a" -> Transcripts.spec("t_a", numBuckets = 4),
+      "t_b" -> Transcripts.spec("t_b", numBuckets = 4))
+
+    val phases = new java.util.concurrent.atomic.AtomicInteger(0)
+    val watcher = new Thread(() => {
+      Orchestrator.runWatched(spark, s"$dir/map.json", s"$dir/targets",
+        specs, s"$dir/ckpt", pollMs = 100,
+        until = () => phases.get() >= 99)
+    })
+    watcher.setDaemon(true)
+    watcher.start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timeout: $what")
+        Thread.sleep(200)
+      }
+    }
+    await(LakeTable.exists(s"$dir/targets/t_a") &&
+      LakeTable.load(spark, s"$dir/targets/t_a").snapshot().properties
+        .getOrElse("commit-epoch-app-s0-transcripts", "-1").toLong >= 1,
+      "initial table drained")
+    val aRowsBeforeReload = LakeTable.load(spark, s"$dir/targets/t_a").read().count()
+
+    // RELOAD: remove t_a's mapping, add t_b (same physical table), and land
+    // the remaining WAL — all against the running watcher
+    mapWith(""""transcripts_b":{"type":"clone","target":"t_b",
+              | "partitions_regex":"transcripts"}""".stripMargin)
+    Gen.writeSegments(spark, cfg, s"$dir/wal", 4, 2 until 4)
+    await(LakeTable.exists(s"$dir/targets/t_b") &&
+      LakeTable.load(spark, s"$dir/targets/t_b").snapshot().properties
+        .getOrElse("commit-epoch-app-s0-transcripts_b", "-1").toLong >= 3,
+      "added table drained the full WAL")
+    phases.set(99)
+    watcher.join(30000)
+    assert(!watcher.isAlive, "watcher must stop on the until() signal")
+
+    // removed table: routing stopped, target kept as-is (no further rows)
+    val a = LakeTable.load(spark, s"$dir/targets/t_a")
+    assert(a.read().count() == aRowsBeforeReload,
+      "removed mapping must stop routing but keep the target")
+    // added table: full converged state from the checkpointed stream —
+    // batches 0-1 were consumed by cycles BEFORE t_b existed, so the
+    // resume-not-replay contract costs it those events; the orchestrator
+    // heals exactly this via the auto full sync on first attach. Here we
+    // assert the stream half: batches 2-3 applied exactly once.
+    val b = LakeTable.load(spark, s"$dir/targets/t_b")
+    val localEvents = (1000L until cfg.numEvents).map(id => Gen.mkEvent(id, cfg))
+    val want = Oracle.replay(localEvents, specs("t_b"),
+      TableMapping("transcripts", "t_b"))
+    assert(b.read().count() == want.size,
+      s"added table must hold exactly the post-attach fold: ${b.read().count()} vs ${want.size}")
+  }
+
   test("two mappings of ONE stream into one shared target: no epoch collision") {
     val dir = SparkTestBase.tmpDir("orchshared")
     val cfg = Gen.Config(numEvents = 2000, numConvs = 20, seed = 501)
