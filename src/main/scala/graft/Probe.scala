@@ -13,17 +13,19 @@ object Probe {
     val nB = args.lift(2).map(_.toInt).getOrElse(8)
     val skew = args.lift(3).map(_.toDouble).getOrElse(2.0)
     val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
-    val spark = SparkSession.builder().master(master)
+    val builder = SparkSession.builder().master(master)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("GRAFT_WORK_BASE", "/tmp"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
-      .config("spark.hadoop.fs.file.impl", classOf[graft.lake.BareLocalFileSystem].getName).getOrCreate()
-    // ad-hoc conf overrides for tuning probes: GRAFT_CONF="k=v;k2=v2"
+      .config("spark.hadoop.fs.file.impl", classOf[graft.lake.BareLocalFileSystem].getName)
+    // ad-hoc conf overrides for tuning probes, applied at BUILDER time so
+    // static confs (executor memory etc.) work too: GRAFT_CONF="k=v;k2=v2"
     sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[probe] nestedVectorized=" + spark.conf.get(
       "spark.sql.parquet.enableNestedColumnVectorizedReader"))

@@ -192,7 +192,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           case LongType | IntegerType | ShortType | ByteType | StringType => true
           case _ => false
         }) => f.name -> f.dataType }.toMap
-    val out = scala.collection.mutable.ArrayBuffer[DataFile]()
+    val moved = scala.collection.mutable.ArrayBuffer[(Path, Int)]()
     Files.list(tmp).iterator.asScala
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
       .foreach { bdir =>
@@ -202,26 +202,51 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           .foreach { f =>
             val dest = dataDir.resolve(s"b$bucket-${UUID.randomUUID()}.parquet")
             Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
-            out += DataFile(dest.toString, bucket, Files.size(dest), schemaId,
-              footerStats(dest, statCols))
+            moved += ((dest, bucket))
           }
       }
     deleteRecursively(tmp)
-    out.toSeq
+    // footer harvest in parallel: one commit registers O(buckets) files and
+    // a serial per-file footer read is avoidable driver time on the
+    // micro-batch critical path
+    val out =
+      if (moved.isEmpty) Seq.empty[DataFile]
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, moved.size))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(Future.sequence(moved.toSeq.map { case (dest, bucket) =>
+            Future(DataFile(dest.toString, bucket, Files.size(dest), schemaId,
+              footerStats(dest, statCols)))
+          }), scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+    out
   }
+
+  // one Hadoop conf for all footer reads (newHadoopConf clones the full
+  // session conf — per-file cloning showed up as driver-side commit cost)
+  private lazy val footerConf = {
+    val c = spark.sessionState.newHadoopConf()
+    // plain local FS for footer reads: BareLocalFileSystem is for Spark's
+    // writers; the footer reader only needs open/seek
+    c
+  }
+  private val zoneStatsEnabled = !sys.env.get("GRAFT_ZONE_STATS").contains("0")
 
   /** Harvest per-column min/max from the parquet FOOTER (row-group
     * statistics — no data pages are read). This is how lake writers record
     * zone maps at scale: the writer already produced the stats; the
     * manifest just keeps them queryable without opening files. */
   private def footerStats(p: Path, statCols: Map[String, DataType]): Map[String, ColStats] = {
-    if (statCols.isEmpty) return Map.empty
+    if (statCols.isEmpty || !zoneStatsEnabled) return Map.empty
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
-    val conf = spark.sessionState.newHadoopConf()
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), footerConf))
     try {
       def render(v: Any): String = v match {
         case b: Binary => b.toStringUsingUTF8
