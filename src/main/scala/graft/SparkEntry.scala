@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLsh,
     "dedup_simhash" -> TextPipeline.dedupSimhash,
     "dedup_incremental" -> TextPipeline.dedupIncremental,
+    "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhash,
     "text_lang_id" -> TextPipeline.langId,
     "text_quality" -> TextPipeline.quality,
     "text_tokens" -> TextPipeline.tokenCount,
@@ -100,6 +101,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLshOracle,
     "dedup_simhash" -> TextPipeline.dedupSimhashOracle,
     "dedup_incremental" -> TextPipeline.dedupIncrementalOracle,
+    "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhashOracle,
     "text_lang_id" -> TextPipeline.langIdOracle,
     "text_quality" -> TextPipeline.qualityOracle,
     "text_tokens" -> TextPipeline.tokenCountOracle,

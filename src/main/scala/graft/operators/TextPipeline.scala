@@ -191,19 +191,7 @@ ORDER BY a, b"""
   val SimhashBands = 4 // 8-bit bands: guaranteed recall at hamming <= 3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), explode(words).as("wd"))
-      .withColumn("m", md5(col("wd")))
-    val sumCols = (0 until SimhashBits).map(j =>
-      sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1))
-        .as(s"s$j"))
-    val sums = d.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-    val fp = sums.select(col("doc_id"),
-      (0 until SimhashBits).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
-        .reduce(_ + _).as("fp"))
-    val banded = fp.select(col("doc_id"), col("fp"), posexplode(
-      array((0 until SimhashBands).map(b =>
-        shiftright(col("fp"), b * 8) % 256): _*)).as(Seq("band", "bk")))
+    val banded = fpBands(simhashSignatures(docs(spark, dir)))
     Similarity.guardOccupancy("dedup_simhash", banded, Seq("band", "bk"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -307,6 +295,73 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     // steady state: delta text + corpus SIGNATURES only
     dedupAgainstSignatures(spark.read.parquet(sigPath),
       d.filter(col("doc_id") >= split))
+  }
+
+  /** SimHash fingerprint table for a document set: one row per doc,
+    * `fp` 32-bit simhash — the second persisted ingest artifact (with
+    * [[minhashSignatures]] these two cover both near-dup families without
+    * corpus text). Shares dedupSimhash's exact fingerprint definition. */
+  def simhashSignatures(d: DataFrame): DataFrame = {
+    val w = d.select(col("doc_id"), explode(words).as("wd"))
+      .withColumn("m", md5(col("wd")))
+    val sumCols = (0 until SimhashBits).map(j =>
+      sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    w.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("fp"))
+  }
+
+  private def fpBands(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("fp"), posexplode(
+      array((0 until SimhashBands).map(b =>
+        shiftright(col("fp"), b * 8) % 256): _*)).as(Seq("band", "bk")))
+
+  /** Incremental SimHash near-dup: delta batch fingerprints vs the
+    * persisted corpus fingerprint table — banded candidates (pigeonhole-
+    * complete at hamming <= 3), hamming verify on the fps alone. */
+  def dedupSimhashAgainstFps(corpusFps: DataFrame, delta: DataFrame): DataFrame =
+    fpBands(corpusFps).as("x").join(fpBands(simhashSignatures(delta)).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("corpus_id", "new_id")
+
+  /** Driver-contract entry, same corpus/delta split as dedupIncremental. */
+  def dedupIncrementalSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val fpPath = java.nio.file.Files
+      .createTempDirectory("graft-fps").toString + "/fps.parquet"
+    simhashSignatures(d.filter(col("doc_id") < split)).write.parquet(fpPath)
+    dedupSimhashAgainstFps(spark.read.parquet(fpPath),
+      d.filter(col("doc_id") >= split))
+  }
+
+  val dedupIncrementalSimhashOracle: String = {
+    val sumCols = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN ascii(substr(m, ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fpExpr = (0 until SimhashBits).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd FROM documents),
+dm AS (SELECT doc_id, md5(wd) AS m FROM d),
+sums AS (SELECT doc_id, $sumCols FROM dm GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums),
+sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+bc AS (SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) % 256 AS bk
+       FROM fp, sp, range(0, $SimhashBands) b(band) WHERE doc_id < split),
+bd AS (SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) % 256 AS bk
+       FROM fp, sp, range(0, $SimhashBands) b(band) WHERE doc_id >= split),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS new_id,
+         bit_count(xor(x.fp, y.fp)) AS hamming
+  FROM bc x JOIN bd y ON x.band = y.band AND x.bk = y.bk)
+SELECT corpus_id, new_id, hamming FROM pairs WHERE hamming <= 3
+ORDER BY corpus_id, new_id"""
   }
 
   val dedupIncrementalOracle: String = {

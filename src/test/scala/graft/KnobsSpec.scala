@@ -124,6 +124,19 @@ class KnobsSpec extends AnyFunSuite {
       s"every documents scan must be the pushed-down delta slice:\n$docScans")
     assert(phase2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((7L, 8L)))
+
+    // the SimHash half of the signatures story: delta fp vs persisted
+    // corpus fps, hamming verify on fingerprints alone (no text)
+    val sim = TextPipeline.dedupIncrementalSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sim.map(t => (t._1, t._2)).toSet == Set((7L, 8L)),
+      s"simhash incremental must pair 7-8 only: ${sim.toSeq}")
+    assert(sim.forall(_._3 <= 3))
+    // and it agrees with the full-corpus simhash op restricted to
+    // (corpus, delta) pairs — same fingerprints, same bands
+    val full = TextPipeline.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.forall(t => full.contains((t._1, t._2))))
   }
 
   test("minhash (K, bands) knob: r = K/bands wiring holds at non-defaults") {
