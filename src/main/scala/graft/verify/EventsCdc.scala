@@ -327,7 +327,11 @@ object EventsCdc {
     val src = spark.readStream.schema(ChangeEvent.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmp/wal/seg-*").as[ChangeEvent]
-    val emits = graft.streaming.StateApply.stream(src, mergeKey = Seq("user_id"))
+    // aggressive tombstone eviction (1 LSN-second): eviction bounds state,
+    // it must NEVER change the converged answer — the same clone-fold
+    // oracle gates this query with and without it
+    val emits = graft.streaming.StateApply.stream(src, mergeKey = Seq("user_id"),
+      tombstoneTtl = Some(java.time.Duration.ofSeconds(1)))
     val qname = "state_apply_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withShufflePartitions(spark, 8) { // 8 state stores/batch, not 32
       emits.toDF().writeStream.format("memory").queryName(qname)
