@@ -112,14 +112,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     pmod(xxhash64(s.bucketCols.map(colFor): _*), lit(s.numBuckets))
   }
 
-  /** Type-aware comparison for zone-map bounds: integral columns compare
-    * numerically, everything else lexicographically (how the stats were
-    * rendered). */
-  private def statCompare(dt: DataType)(a: String, b: String): Int = dt match {
-    case LongType | IntegerType | ShortType | ByteType =>
-      java.lang.Long.compare(a.toLong, b.toLong)
-    case _ => a.compareTo(b)
-  }
+  private def statCompare(dt: DataType)(a: String, b: String): Int =
+    LakeTable.statCompare(dt)(a, b)
 
   /** The files a (buckets, zones)-constrained scan must read: bucket
     * pruning first, then zone-map pruning — a file survives unless some
@@ -188,10 +182,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val statCols: Map[String, DataType] =
       ((if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols)
         .flatMap(c => written.fields.find(_.name == c))
-        .collect { case f if (f.dataType match {
-          case LongType | IntegerType | ShortType | ByteType | StringType => true
-          case _ => false
-        }) => f.name -> f.dataType }.toMap
+        .collect { case f if LakeTable.statComparable(f.dataType) =>
+          f.name -> f.dataType }.toMap
     val moved = scala.collection.mutable.ArrayBuffer[(Path, Int)]()
     Files.list(tmp).iterator.asScala
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
@@ -239,7 +231,16 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   /** Harvest per-column min/max from the parquet FOOTER (row-group
     * statistics — no data pages are read). This is how lake writers record
     * zone maps at scale: the writer already produced the stats; the
-    * manifest just keeps them queryable without opening files. */
+    * manifest just keeps them queryable without opening files.
+    *
+    * Soundness rule: a column's file-level stats are recorded ONLY if
+    * EVERY row group either contributed stats or is provably all-null for
+    * that column. parquet-mr omits footer min/max for binary values above
+    * its stats size cap (long string keys), and a merged range that skips
+    * such a row group would under-cover the file — zone pruning would then
+    * silently drop live rows. Dropping the column instead means "no stats
+    * => must scan" (the conservative default selectFiles already applies).
+    */
   private def footerStats(p: Path, statCols: Map[String, DataType]): Map[String, ColStats] = {
     if (statCols.isEmpty || !zoneStatsEnabled) return Map.empty
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -253,25 +254,31 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         case x => x.toString
       }
       val acc = scala.collection.mutable.Map[String, ColStats]()
+      val unsound = scala.collection.mutable.Set[String]()
       reader.getFooter.getBlocks.asScala.foreach { block =>
-        block.getColumns.asScala.foreach { cc =>
-          val name = cc.getPath.toDotString
-          statCols.get(name).foreach { dt =>
-            val st = cc.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              val (mn, mx) = (render(st.genericGetMin), render(st.genericGetMax))
-              val cmp = statCompare(dt) _
-              acc(name) = acc.get(name) match {
-                case Some(prev) => ColStats(
-                  if (cmp(mn, prev.min) < 0) mn else prev.min,
-                  if (cmp(mx, prev.max) > 0) mx else prev.max)
-                case None => ColStats(mn, mx)
-              }
+        val chunks = block.getColumns.asScala
+          .map(cc => cc.getPath.toDotString -> cc).toMap
+        statCols.foreach { case (name, dt) =>
+          val st = chunks.get(name).map(_.getStatistics).orNull
+          if (st != null && st.hasNonNullValue) {
+            val (mn, mx) = (render(st.genericGetMin), render(st.genericGetMax))
+            val cmp = statCompare(dt) _
+            acc(name) = acc.get(name) match {
+              case Some(prev) => ColStats(
+                if (cmp(mn, prev.min) < 0) mn else prev.min,
+                if (cmp(mx, prev.max) > 0) mx else prev.max)
+              case None => ColStats(mn, mx)
             }
-          }
+          } else if (st == null || !st.isNumNullsSet ||
+                     st.getNumNulls != block.getRowCount) {
+            // stats absent (size-capped binary / unknown writer) and the
+            // row group is not provably all-null: the column's merged
+            // range cannot cover this file — drop it (must-scan)
+            unsound += name
+          } // else: all-null row group, safe to skip
         }
       }
-      acc.toMap
+      (acc -- unsound).toMap
     } finally reader.close()
   }
 
@@ -384,6 +391,26 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
 
 object LakeTable {
   private val VersionFile = "v(\\d{20})\\.json".r
+
+  /** Types whose per-file min/max zone stats are recorded and comparable. */
+  private[graft] def statComparable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case _ => false
+  }
+
+  /** Type-aware comparison for zone-map bounds: integral columns compare
+    * numerically, strings by UNSIGNED UTF-8 BYTE order — the order the
+    * parquet footer recorded the min/max in AND the order Spark's row-level
+    * UTF8String filters use. Java String.compareTo (UTF-16 code units)
+    * disagrees for supplementary-plane characters (U+10000 sorts below
+    * U+FFFF in UTF-16 but above in UTF-8 bytes), which would let pruning
+    * drop a file whose rows the row filter keeps. */
+  private[graft] def statCompare(dt: DataType)(a: String, b: String): Int = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
   private[lake] val mapper: ObjectMapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
 

@@ -411,10 +411,41 @@ object Replay {
 
     val xBucket = pmod(xxhash64(snap.bucketCols.map(c => col(s"__k_$c")): _*),
       lit(snap.numBuckets))
-    val touched: Set[Int] = timed("fold+touched")(xdf.select(xBucket.cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet)
+    // ONE pass over the folded keys yields both the touched-bucket set and
+    // the batch's per-key-column bounds. The bounds double as ZONE
+    // predicates on the target read: when a batch touches a narrow key
+    // range (incremental steady state), whole files inside touched buckets
+    // prune away and stay un-rewritten. Sound because a target row whose
+    // key null-safe-equals some batch key has every key column inside the
+    // batch's [min, max], so its file can never prune; columns where the
+    // batch carries a NULL key value get no zone (stats don't cover nulls).
+    val zoneCols = mergeKey.filter(c => graft.lake.LakeTable.statComparable(keyType(c)))
+    val bucketAggs = zoneCols.flatMap(c => Seq(
+      min(col(s"__k_$c")).as(s"mn_$c"), max(col(s"__k_$c")).as(s"mx_$c"),
+      max(col(s"__k_$c").isNull.cast("int")).as(s"nl_$c")))
+    val statRows = timed("fold+touched")(
+      (if (bucketAggs.isEmpty) xdf.select(xBucket.cast("int").as("b")).distinct()
+       else xdf.groupBy(xBucket.cast("int").as("b"))
+         .agg(bucketAggs.head, bucketAggs.tail: _*))
+        .collect())
+    val touched: Set[Int] = statRows.map(_.getInt(0)).toSet
+    val zones: Seq[graft.lake.Zone] =
+      if (statRows.isEmpty || bucketAggs.isEmpty) Nil
+      else zoneCols.flatMap { c =>
+        val vals = statRows.flatMap(r => Seq(r.getAs[Any](s"mn_$c"),
+          r.getAs[Any](s"mx_$c"))).filter(_ != null).map(_.toString)
+        val anyNull = statRows.exists(r => r.getAs[Int](s"nl_$c") != 0) ||
+          vals.length < statRows.length * 2
+        if (anyNull || vals.isEmpty) None
+        else {
+          val cmp = graft.lake.LakeTable.statCompare(keyType(c)) _
+          Some(graft.lake.Zone(c,
+            lo = Some(vals.reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
+            hi = Some(vals.reduce((a, b) => if (cmp(a, b) >= 0) a else b))))
+        }
+      }
 
-    val target = lake.read(buckets = Some(touched))
+    val target = lake.read(buckets = Some(touched), zones = zones)
     val t = target.alias("t")
     val x = xdf.alias("x")
     val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c"))
@@ -469,7 +500,10 @@ object Replay {
       pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
 
     val newFiles = timed("merge+write")(lake.writeDataFiles(withBucket, snap.currentSchemaId))
-    val removed = snap.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
+    // remove EXACTLY the files the target read scanned: a zone-pruned file
+    // was neither read nor rewritten, so it must stay live in the snapshot
+    val removed = lake.selectFiles(buckets = Some(touched), zones = zones)
+      .map(_.path).toSet
     // the write job ran -> observed merge-outcome counters are available
     val m = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     // per-batch metrics sidecar, BEFORE the commit: a crash between the

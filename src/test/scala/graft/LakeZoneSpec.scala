@@ -79,6 +79,81 @@ class LakeZoneSpec extends AnyFunSuite {
     assert(lake.selectFiles(zones = Seq(Zone("nope", hi = Some("a")))).size == 1)
   }
 
+  test("string zones compare in UTF-8 byte order (supplementary plane)") {
+    val dir = SparkTestBase.tmpDir("zoneu")
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 1))
+    // U+FFFF sorts ABOVE U+10000 in UTF-16 code units but BELOW it in
+    // unsigned UTF-8 bytes (the order parquet stats and Spark row filters
+    // use). A UTF-16 compare would prune this file for hi = U+10000 even
+    // though its row matches the row-level filter.
+    val uFFFF = "￿"
+    val u10000 = new String(Character.toChars(0x10000))
+    val df = Seq((uFFFF, 0, "user", "t", null: String,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .withColumn("__bucket", lit(0))
+    lake.commit(lake.writeDataFiles(df.coalesce(1),
+      lake.snapshot().currentSchemaId), Set.empty)
+    val sel = lake.selectFiles(zones = Seq(Zone("conv_id", hi = Some(u10000))))
+    assert(sel.size == 1, "hi = U+10000 must keep the U+FFFF file (UTF-8 order)")
+    val rows = lake.read(zones = Seq(Zone("conv_id", hi = Some(u10000))))
+      .filter(col("conv_id") <= u10000).count()
+    assert(rows == 1, "pruned read must still see the matching row")
+  }
+
+  test("over-4KB string keys: size-capped footer stats never prune unsoundly") {
+    val dir = SparkTestBase.tmpDir("zonebig")
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 1))
+    // parquet-mr omits column-chunk min/max for binary values above its
+    // stats size cap (4096 bytes); the harvester must then treat the
+    // column as stat-less for the whole file (must-scan), never merge a
+    // partial range
+    val big = "k" * 5000
+    val df = Seq(
+      (big, 0, "user", "t", null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("a-small-key", 1, "user", "t", null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .withColumn("__bucket", lit(0))
+    lake.commit(lake.writeDataFiles(df.coalesce(1),
+      lake.snapshot().currentSchemaId), Set.empty)
+    // whatever the writer recorded, a zone matching the big key must keep
+    // the file, and pruned-read + row-filter must equal full-read counts
+    val z = Seq(Zone("conv_id", lo = Some(big), hi = Some(big)))
+    assert(lake.selectFiles(zones = z).size == 1,
+      s"zone on the >4KB key must not prune its file " +
+        s"(stats=${lake.snapshot().files.head.statsOrEmpty.get("conv_id").map(_.min.length)})")
+    assert(lake.read(zones = z).filter(col("conv_id") === big).count() == 1)
+    // integral key stats are unaffected by the binary cap
+    assert(lake.snapshot().files.head.statsOrEmpty.contains("turn_idx"))
+  }
+
+  test("merge path zone-prunes untouched key ranges inside touched buckets") {
+    import graft.model.{ChangeEvent, TableMapping}
+    val dir = SparkTestBase.tmpDir("zonem")
+    // ONE bucket: without zone pruning every batch rewrites all three files
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 1))
+    commitRange(lake, 0, 99) // file A
+    commitRange(lake, 100, 199) // file B
+    commitRange(lake, 200, 299) // file C
+    val before = lake.snapshot().files.map(_.path)
+    assert(before.size == 3)
+    val ev = Seq(ChangeEvent(1L, 0, "U", "transcripts", "s0", "none",
+      Map.empty, Map("conv_id" -> "c00000150", "turn_idx" -> "0",
+        "text" -> "updated")))
+    graft.operators.Replay.applyBatch(lake, ev.toDS(),
+      TableMapping("transcripts", "transcripts"), 0)
+    val after = lake.snapshot().files.map(_.path)
+    assert(before.count(after.contains) == 2,
+      s"the two files whose conv_id range provably misses the batch key " +
+        s"must survive un-rewritten (before=${before.size}, kept=" +
+        s"${before.count(after.contains)})")
+    assert(lake.read().count() == 300 * 4, "zone-pruned merge must not lose rows")
+    assert(lake.read().filter(col("conv_id") === "c00000150" &&
+      col("turn_idx") === 0).head().getAs[String]("text") == "updated")
+  }
+
   test("zone maps survive the CDC merge path (cdc_* compatibility)") {
     import graft.gen.Gen
     import graft.model.TableMapping
