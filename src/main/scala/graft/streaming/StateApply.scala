@@ -131,6 +131,15 @@ object StateApply {
              tombstoneTtl: Option[java.time.Duration] = None): Dataset[Emit] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // Tombstone TTL needs the event-time watermark, which the analyzer
+    // eliminates for batch plans — getCurrentWatermarkMs/setTimeoutTimestamp
+    // would then throw on the first deleted key, deep inside the state
+    // function. Fail fast with an actionable message instead.
+    require(events.isStreaming || tombstoneTtl.isEmpty,
+      "tombstoneTtl requires a streaming Dataset (event-time timers need a " +
+        "watermark, which batch plans do not carry); pass tombstoneTtl = " +
+        "None for batch input — a one-shot batch has no cross-batch state " +
+        "to bound")
     val normalized = events.flatMap(e => Replay.normalize(e, mergeKey, appendMode))
     val (keyed, timeout) = tombstoneTtl match {
       case None => (normalized, GroupStateTimeout.NoTimeout())

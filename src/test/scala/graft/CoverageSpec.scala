@@ -237,6 +237,16 @@ class CoverageSpec extends AnyFunSuite {
     assert(sql.nonEmpty && sql == typed)
   }
 
+  test("watermark calibration guard: streaming result matches the batch-(N-2) model") {
+    // The guard moved out of the timed qWatermarkAgg path (GRAFT_CALIBRATE=1
+    // re-enables it there); this test keeps it running on every sbt pass so
+    // a Spark-version watermark-propagation change fails loudly here.
+    val dir = "/root/testdata/sf0.001"
+    val result = graft.verify.EventsCdc.qWatermarkAgg(spark, dir)
+    graft.verify.EventsCdc.watermarkCalibrationGuard(spark,
+      spark.read.parquet(s"$dir/events.parquet"), result)
+  }
+
   test("datatype matrix: text-encoded values decode to the full type surface") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("types")

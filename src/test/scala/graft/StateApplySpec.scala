@@ -93,6 +93,17 @@ class StateApplySpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoneTtl on a batch Dataset fails fast (no watermark to time against)") {
+    val ev = Seq(ChangeEvent(1, 0, "I", "transcripts", "s0", "none",
+      Map.empty, Map("conv_id" -> "k", "turn_idx" -> "0")))
+    val ex = intercept[IllegalArgumentException] {
+      StateApply.stream(spark.createDataset(ev), mergeKey,
+        tombstoneTtl = Some(java.time.Duration.ofSeconds(1)))
+    }
+    assert(ex.getMessage.contains("streaming Dataset"),
+      s"message must say why: ${ex.getMessage}")
+  }
+
   test("tombstone eviction bounds delete-heavy state; reinsert stays correct") {
     val dir = SparkTestBase.tmpDir("statettl")
     def ev(lsn: Long, op: String, k: String, txt: String = null): ChangeEvent = {
