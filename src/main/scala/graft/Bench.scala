@@ -28,17 +28,30 @@ import org.apache.spark.sql.SparkSession
   * approximates. Falls back to local[C]/local[4C] when no Spark
   * distribution is present.
   *
-  * Measurement protocol (this host shows ±30% run-to-run wall-time noise):
-  * levels are interleaved, >= 2 runs per level by default, min per level
-  * is reported plus all raw samples, the per-level MEDIAN, and a spread
-  * guard: a level whose max/min exceeds 1.5x gets extra interleaved
-  * samples (SPARK_GRAFT_BENCH_EXTRA, default 2), and `spread_warning`
-  * flags a record whose min-based efficiency disagrees with the
-  * median-based one by > 0.1 — an outlier-min headline is visible in the
-  * JSON, not silent. Each timed session first verifies
-  * that the REQUESTED number of executors actually registered
-  * (statusTracker poll; one session retry) and the seen counts are
-  * recorded in the JSON — a degraded level is visible, not silent.
+  * Measurement protocol (this host shows ±30% BURSTY run-to-run wall-time
+  * noise): levels are interleaved, >= 2 runs per level by default, min per
+  * level is reported plus all raw samples and the per-level MEDIAN. The
+  * record is SELF-EVIDENCING three ways:
+  *   1. every timed sample is paired with a CONTROL — the wall time of the
+  *      fixed-size warmup replay run in the same session — so a sample
+  *      taken inside a degraded host window is visible in the JSON
+  *      (control_ratio_at_min_* says how taxed the host was for the kept
+  *      minimum; ~1.0 = quiet window);
+  *   2. extra interleaved pairs are taken while a level's max/min spread
+  *      exceeds 1.5x OR min-based efficiency < SPARK_GRAFT_BENCH_EFF_FLOOR
+  *      (0.8), bounded by a WALL-CLOCK budget
+  *      (SPARK_GRAFT_BENCH_BUDGET_SEC, 900) instead of a fixed pair cap —
+  *      a multi-minute noise burst cannot exhaust a 2-pair allowance and
+  *      ship a wrong headline; which trigger fired is recorded
+  *      (guard_*_fired — the eff-floor trigger is an optional-stopping
+  *      rule, so the record says when the headline was resampled-for);
+  *   3. if the floor is still unmet at budget exhaustion the record says
+  *      so (`efficiency_suspect` + the control ratios), and
+  *      `spread_warning` flags min-vs-median disagreement > 0.1.
+  * Each timed session first verifies that the REQUESTED number of
+  * executors actually registered (statusTracker poll; one session retry)
+  * and the seen counts are recorded in the JSON — a degraded level is
+  * visible, not silent.
   *
   * Also times every SparkEntry query suite entry at SPARK_GRAFT_SF_DIR
   * (local[32]).
@@ -144,12 +157,18 @@ object Bench {
     val execSeen = scala.collection.mutable.Map[String, Int]()
     /** One timed run at `master`; retries once with a fresh session if the
       * requested executor count never registers (the round-1 failure mode:
-      * a silently under-provisioned level). */
-    def measured(level: String, master: String, execs: Int): Double = {
+      * a silently under-provisioned level). Returns (control, timed):
+      * `control` is the wall time of the FIXED-SIZE warmup replay that
+      * precedes the timed run in the same session — an independent
+      * host-noise probe recorded NEXT TO each timed sample, so a record
+      * whose level ran entirely inside a degraded host window is
+      * detectable from the JSON alone (the round-3 failure mode:
+      * min ≈ median ≈ wrong passed every min-vs-median guard). */
+    def measured(level: String, master: String, execs: Int): (Double, Double) = {
       val isCluster = master.startsWith("local-cluster")
       var attempt = 0
-      var result = -1.0
-      while (result < 0) {
+      var result: (Double, Double) = null
+      while (result == null) {
         attempt += 1
         val s = session(master, execs * coresPerExec, execMem)
         val seen = if (isCluster) awaitExecutors(s, execs) else execs
@@ -162,8 +181,10 @@ object Bench {
           execSeen(level) = seen
           try {
             runId += 1
-            replay(s, s"$work/wal-warm", nBatches, s"$work/warm-$level-$runId", salts) // JIT warmup
-            result = replay(s, s"$work/wal", nBatches, s"$work/t-$level-$runId", salts)
+            val ctrl = replay(s, s"$work/wal-warm", nBatches,
+              s"$work/warm-$level-$runId", salts) // JIT warmup + noise probe
+            result = (ctrl,
+              replay(s, s"$work/wal", nBatches, s"$work/t-$level-$runId", salts))
           } finally s.stop()
         }
       }
@@ -176,36 +197,52 @@ object Bench {
     val los = samples.collect { case ("lo", t) => t }.toBuffer
     val his = samples.collect { case ("hi", t) => t }.toBuffer
 
-    // Spread guard: this host shows ±30% wall-time noise, and min-of-2
-    // over a wide spread can fabricate an outlier-min efficiency. If a
-    // level's max/min exceeds 1.5x, take extra interleaved samples (budget
-    // capped) and report the median NEXT TO the min so the record shows
-    // whether the headline rests on an outlier.
-    def spread(xs: collection.Seq[Double]): Double = xs.max / xs.min
-    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
-    // Second trigger: this host's noise is BURSTY (minutes-scale slow
-    // windows inflate one level's wall times across a whole run pair), so
-    // a low min-based efficiency with small within-level spread usually
-    // means one level never saw a quiet window. Min-of-N interleaved is
-    // the documented protocol for this host; extra pairs raise N. Every
-    // sample stays in the record.
+    // Sampling guard: this host shows ±30% BURSTY wall-time noise
+    // (minutes-scale slow windows can cover one level's entire sample
+    // set). Extra interleaved pairs are taken while a level's spread
+    // exceeds 1.5x OR the min-based efficiency sits under the floor —
+    // bounded by a WALL-CLOCK budget rather than a fixed pair count, so a
+    // multi-minute burst cannot exhaust a 2-pair allowance and ship a
+    // wrong record. Both triggers and the budget outcome are recorded in
+    // the JSON (the eff-floor trigger is an optional-stopping rule, so the
+    // record says when it fired; the per-sample controls let a reader
+    // verify the kept minimum against an independent noise probe).
+    def spread(xs: collection.Seq[(Double, Double)]): Double =
+      xs.map(_._2).max / xs.map(_._2).min
     val effFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_FLOOR", "0.8").toDouble
-    def effNow: Double = los.min / (4.0 * his.min)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
+    def effNow: Double = los.map(_._2).min / (4.0 * his.map(_._2).min)
     var extras = 0
-    while ((spread(los) > 1.5 || spread(his) > 1.5 || effNow < effFloor) &&
-           extras < maxExtra) {
-      System.err.println(f"[bench] sampling guard: lo ${spread(los)}%.2fx " +
-        f"hi ${spread(his)}%.2fx eff $effNow%.3f — taking an extra interleaved pair")
-      his += measured("hi", hiMaster, hiExec)
-      los += measured("lo", loMaster, loExec)
-      extras += 1
+    var spreadFired = false
+    var effFloorFired = false
+    var budgetExhausted = false
+    val guardT0 = System.nanoTime()
+    var guarding = true
+    while (guarding) {
+      val sTrig = spread(los) > 1.5 || spread(his) > 1.5
+      val eTrig = effNow < effFloor
+      if (!sTrig && !eTrig) guarding = false
+      else if ((System.nanoTime() - guardT0) / 1e9 > budgetSec) {
+        budgetExhausted = true; guarding = false
+        System.err.println(f"[bench] sampling budget ($budgetSec s) exhausted " +
+          f"with eff $effNow%.3f — emitting record with efficiency_suspect")
+      } else {
+        spreadFired |= sTrig; effFloorFired |= eTrig
+        System.err.println(f"[bench] sampling guard: lo ${spread(los)}%.2fx " +
+          f"hi ${spread(his)}%.2fx eff $effNow%.3f — taking an extra interleaved pair")
+        his += measured("hi", hiMaster, hiExec)
+        los += measured("lo", loMaster, loExec)
+        extras += 1
+      }
     }
     def median(xs: collection.Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val losRaw = los.toSeq
-    val hisRaw = his.toSeq
+    val losRaw = los.map(_._2).toSeq
+    val hisRaw = his.map(_._2).toSeq
+    val ctrlLo = los.map(_._1).toSeq
+    val ctrlHi = his.map(_._1).toSeq
     val tLo = losRaw.min
     val tHi = hisRaw.min
     val tLoMed = median(losRaw)
@@ -219,6 +256,18 @@ object Bench {
       System.err.println(f"[bench] WARNING min-based efficiency $eff%.3f " +
         f"disagrees with median-based $effMed%.3f by > 0.1 — treat the " +
         "headline as noise-inflated; medians are the honest number")
+    // Host-noise controls: the warmup replay is the same fixed-size job in
+    // every session, so ctrl_sample / min(ctrl) ≈ how taxed the host was
+    // during that session. A level whose KEPT MINIMUM ran in a session
+    // with a high control ratio is suspect even when min ≈ median.
+    val ctrlMin = (ctrlLo ++ ctrlHi).min
+    val ctrlRatioAtMinLo = ctrlLo(losRaw.indexOf(tLo)) / ctrlMin
+    val ctrlRatioAtMinHi = ctrlHi(hisRaw.indexOf(tHi)) / ctrlMin
+    val efficiencySuspect = eff < effFloor
+    if (efficiencySuspect)
+      System.err.println(f"[bench] efficiency $eff%.3f below floor $effFloor " +
+        f"at emit — control ratios lo ${ctrlRatioAtMinLo}%.2f / " +
+        f"hi ${ctrlRatioAtMinHi}%.2f (1.0 = quiet host window)")
 
     // per-query suite timings on the driver-designated sf dir
     val queries =
@@ -248,8 +297,9 @@ object Bench {
     val qs = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def rawSpread(xs: Seq[Double]): Double = xs.max / xs.min
     val json =
-      s"""{"metric":"cdc_replay_events_per_sec","value":${epsHi.round},"unit":"events/sec","queries":$qs,"sf":"$sfDir","scaling":{"events":$events,"batches":$nBatches,"salts":$salts,"runs_per_level":$runs,"extra_samples":$extras,"executors_lo":$loExec,"executors_hi":$hiExec,"cores_per_executor":$coresPerExec,"executors_seen_lo":${execSeen.getOrElse("lo", loExec)},"executors_seen_hi":${execSeen.getOrElse("hi", hiExec)},"master_lo":"$loMaster","master_hi":"$hiMaster","samples_sec_lo":${arr(losRaw)},"samples_sec_hi":${arr(hisRaw)},"sec_lo":${f"$tLo%.2f"},"sec_hi":${f"$tHi%.2f"},"sec_lo_median":${f"$tLoMed%.2f"},"sec_hi_median":${f"$tHiMed%.2f"},"spread_lo":${f"${spread(losRaw)}%.2f"},"spread_hi":${f"${spread(hisRaw)}%.2f"},"eps_lo":${epsLo.round},"eps_hi":${epsHi.round},"efficiency":${f"$eff%.3f"},"efficiency_median":${f"$effMed%.3f"},"spread_warning":$spreadWarning},"query_suite_total_sec":${f"${queries.map(_._2).sum}%.2f"}}"""
+      s"""{"metric":"cdc_replay_events_per_sec","value":${epsHi.round},"unit":"events/sec","queries":$qs,"sf":"$sfDir","scaling":{"events":$events,"batches":$nBatches,"salts":$salts,"runs_per_level":$runs,"extra_samples":$extras,"executors_lo":$loExec,"executors_hi":$hiExec,"cores_per_executor":$coresPerExec,"executors_seen_lo":${execSeen.getOrElse("lo", loExec)},"executors_seen_hi":${execSeen.getOrElse("hi", hiExec)},"master_lo":"$loMaster","master_hi":"$hiMaster","samples_sec_lo":${arr(losRaw)},"samples_sec_hi":${arr(hisRaw)},"controls_sec_lo":${arr(ctrlLo)},"controls_sec_hi":${arr(ctrlHi)},"control_min_sec":${f"$ctrlMin%.2f"},"control_ratio_at_min_lo":${f"$ctrlRatioAtMinLo%.2f"},"control_ratio_at_min_hi":${f"$ctrlRatioAtMinHi%.2f"},"sec_lo":${f"$tLo%.2f"},"sec_hi":${f"$tHi%.2f"},"sec_lo_median":${f"$tLoMed%.2f"},"sec_hi_median":${f"$tHiMed%.2f"},"spread_lo":${f"${rawSpread(losRaw)}%.2f"},"spread_hi":${f"${rawSpread(hisRaw)}%.2f"},"eps_lo":${epsLo.round},"eps_hi":${epsHi.round},"efficiency":${f"$eff%.3f"},"efficiency_median":${f"$effMed%.3f"},"spread_warning":$spreadWarning,"guard_spread_fired":$spreadFired,"guard_eff_floor_fired":$effFloorFired,"guard_budget_sec":$budgetSec,"guard_budget_exhausted":$budgetExhausted,"efficiency_suspect":$efficiencySuspect},"query_suite_total_sec":${f"${queries.map(_._2).sum}%.2f"}}"""
     println(json)
     // belt-and-braces: also land the line in a file, in case a logger
     // prefixes stdout in some future harness
