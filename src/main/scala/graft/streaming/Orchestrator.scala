@@ -96,6 +96,21 @@ object Orchestrator {
         val routes = routes0.map(r => r.copy(
           sidOverride = Some(u.sid),
           epochKey = s"commit-epoch-${db.name}-${u.sid}-${r.mapping.sourceTable}"))
+        // One-time upgrade migration: tables written before the epoch key
+        // carried the source-table suffix hold `commit-epoch-<db>-<sid>`
+        // only. Seed the per-mapping key from it, or a checkpoint-
+        // redelivered last batch (crash between sink commit and checkpoint)
+        // would re-apply once per existing deployment — the idempotent-
+        // replay gate would read -1 under the new key.
+        routes.foreach { r =>
+          CdcStream.lockFor(r.lake.root).synchronized {
+            val props = r.lake.snapshot().properties
+            val legacy = s"commit-epoch-${db.name}-${u.sid}"
+            if (!props.contains(r.epochKey) && props.contains(legacy))
+              r.lake.commit(Nil, Set.empty,
+                properties = Map(r.epochKey -> props(legacy)))
+          }
+        }
         val q = CdcStream.start(spark, u.url,
           s"$checkpointRoot/${db.name}-${u.sid}", routes,
           salts = salts, maxFilesPerTrigger = maxFilesPerTrigger,

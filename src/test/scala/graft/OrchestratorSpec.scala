@@ -214,6 +214,30 @@ class OrchestratorSpec extends AnyFunSuite {
       s"added table must hold exactly the post-attach fold: ${b.read().count()} vs ${want.size}")
   }
 
+  test("legacy per-stream epoch key seeds the per-mapping key on upgrade") {
+    val dir = SparkTestBase.tmpDir("orchlegacy")
+    Gen.writeLog(spark, Gen.Config(numEvents = 2000, numConvs = 20, seed = 303),
+      s"$dir/wal", 1)
+    // a pre-rename deployment left this table with batches committed under
+    // the LEGACY key `commit-epoch-<db>-<sid>` (no source-table suffix);
+    // its checkpoint is gone, so the stream will redeliver every batch
+    val lake = LakeTable.create(spark, s"$dir/targets/transcripts",
+      Transcripts.spec(numBuckets = 4))
+    lake.commit(Nil, Set.empty, properties = Map("commit-epoch-app-s0" -> "999"))
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      Map("transcripts" -> Transcripts.spec(numBuckets = 4)), s"$dir/ckpt")
+    val after = LakeTable.load(spark, s"$dir/targets/transcripts")
+    assert(after.snapshot().properties.get("commit-epoch-app-s0-transcripts")
+      .contains("999"), "per-mapping epoch key must seed from the legacy key")
+    assert(after.read().count() == 0,
+      "redelivered batches already committed under the legacy key must skip")
+  }
+
   test("two mappings of ONE stream into one shared target: no epoch collision") {
     val dir = SparkTestBase.tmpDir("orchshared")
     val cfg = Gen.Config(numEvents = 2000, numConvs = 20, seed = 501)
