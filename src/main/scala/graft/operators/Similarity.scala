@@ -119,25 +119,58 @@ ORDER BY query_id, rnk"""
     Occupancy(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  private val emitOccupancy = sys.env.get("GRAFT_OCCUPANCY").contains("1")
+  // Always-on occupancy telemetry: at 100 TB the candidate-volume alarm
+  // must not hide behind an env flag or a log nobody tails. Every bucketed
+  // operator records its histogram in this registry (queryable in-process
+  // via [[lastOccupancy]]), appends a JSONL row to GRAFT_METRICS_DIR when
+  // set (the sidecar shape LakeTable._metrics uses), and still prints the
+  // stderr warning. GRAFT_OCCUPANCY=0 opts OUT (A/B runs only).
+  private val occupancyRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Occupancy]()
+
+  /** Latest occupancy stats per bucketed operator (telemetry sink). */
+  def lastOccupancy(op: String): Option[Occupancy] =
+    Option(occupancyRegistry.get(op))
+
+  private val occupancyOff = sys.env.get("GRAFT_OCCUPANCY").contains("0")
   private val occupancyCap =
     sys.env.getOrElse("GRAFT_OCCUPANCY_CAP", "100000").toLong
 
-  /** Env-gated (GRAFT_OCCUPANCY=1) per-operator emission + loud warning
-    * when the largest bucket exceeds GRAFT_OCCUPANCY_CAP — the signal to
-    * raise the operator's planes/bandBits/K knob at the next ingest. */
-  private[operators] def guardOccupancy(op: String, banded: DataFrame,
-                                        bucketCols: Seq[String]): Unit =
-    if (emitOccupancy) {
-      val o = occupancy(banded, bucketCols)
-      System.err.println(s"[occupancy] op=$op buckets=${o.buckets} " +
-        s"max_occupancy=${o.maxOccupancy} candidate_pairs=${o.candidatePairs}")
-      if (o.maxOccupancy > occupancyCap)
-        System.err.println(s"[occupancy] WARNING op=$op max bucket " +
-          s"${o.maxOccupancy} > cap $occupancyCap — candidate volume is " +
-          "going quadratic; raise the operator's bucket knob " +
-          "(planes / bandBits / K)")
+  /** Compute + record the bucket-occupancy histogram for one operator and
+    * return the banded frame PERSISTED (MEMORY_AND_DISK): the histogram
+    * pass materializes the banded stage once and the operator's candidate
+    * self-join then reads it from cache instead of recomputing the
+    * signature pipeline per join side — the telemetry pays for itself.
+    * Loud warning when the largest bucket exceeds GRAFT_OCCUPANCY_CAP —
+    * the signal to raise the operator's planes/bandBits/K knob at the next
+    * ingest, BEFORE candidate volume goes quadratic. */
+  private[graft] def guardOccupancy(op: String, banded: DataFrame,
+                                    bucketCols: Seq[String]): DataFrame = {
+    if (occupancyOff) return banded
+    val b = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o = occupancy(b, bucketCols)
+    occupancyRegistry.put(op, o)
+    System.err.println(s"[occupancy] op=$op buckets=${o.buckets} " +
+      s"max_occupancy=${o.maxOccupancy} candidate_pairs=${o.candidatePairs}")
+    if (o.maxOccupancy > occupancyCap)
+      System.err.println(s"[occupancy] WARNING op=$op max bucket " +
+        s"${o.maxOccupancy} > cap $occupancyCap — candidate volume is " +
+        "going quadratic; raise the operator's bucket knob " +
+        "(planes / bandBits / K)")
+    sys.env.get("GRAFT_METRICS_DIR").foreach { d =>
+      try {
+        val dir = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve("occupancy.jsonl"),
+          s"""{"op":"$op","buckets":${o.buckets},"max_occupancy":${o.maxOccupancy},"candidate_pairs":${o.candidatePairs}}""" + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
+        System.err.println(s"[occupancy] sidecar write failed: ${e.getMessage}")
+      }
     }
+    b
+  }
 
   /** Default-knob entry (driver contract). */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
@@ -155,8 +188,8 @@ ORDER BY query_id, rnk"""
       val w = array((1 to Dim).map(d => lit(planeWeight(p, d))): _*)
       when(dot(col("v"), w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val b = e.withColumn("bucket", bucket)
-    guardOccupancy("embed_ann_lsh", b, Seq("bucket"))
+    val b = guardOccupancy("embed_ann_lsh",
+      e.withColumn("bucket", bucket), Seq("bucket"))
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("x.bucket").as("bucket"),
@@ -246,8 +279,8 @@ ORDER BY vec_id"""
         }
       }
     }
-    val assigned = e.withColumn("cluster", clusterOf(col("v"), cents))
-    guardOccupancy("embed_ann_ivf", assigned, Seq("cluster"))
+    val assigned = guardOccupancy("embed_ann_ivf",
+      e.withColumn("cluster", clusterOf(col("v"), cents)), Seq("cluster"))
 
     // per-query probe list: `probe` nearest centroids (driver-side over
     // the K-row centroid table; ties by cid)
@@ -358,11 +391,11 @@ ORDER BY query_id, rnk"""
     val e = embeddings(spark, dir).select(col("vec_id"), qvec.as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
       .withColumn("sig", signature(col("v"), planes))
-    val banded = e.select(col("vec_id"), posexplode(
-      array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bandBits) % (1 << bandBits)): _*))
-      .as(Seq("band", "bk")))
-    guardOccupancy("embed_cosine_dedup", banded, Seq("band", "bk"))
+    val banded = guardOccupancy("embed_cosine_dedup",
+      e.select(col("vec_id"), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bandBits) % (1 << bandBits)): _*))
+        .as(Seq("band", "bk"))), Seq("band", "bk"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))

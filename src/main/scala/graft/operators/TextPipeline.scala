@@ -75,8 +75,8 @@ FROM documents GROUP BY 1 ORDER BY keep_id"""
     val sh = shingleSet(docs(spark, dir))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
-    val kept = sh.join(rare, "s")
-    Similarity.guardOccupancy("dedup_ngram_jaccard", kept, Seq("s"))
+    val kept = Similarity.guardOccupancy("dedup_ngram_jaccard",
+      sh.join(rare, "s"), Seq("s"))
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -129,11 +129,11 @@ ORDER BY a, b"""
     val sigCols = (0 until numHashes).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until numBands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bk"))
-    }.reduce(_ unionAll _)
-    Similarity.guardOccupancy("dedup_minhash_lsh", bands, Seq("band", "bk"))
+    val bands = Similarity.guardOccupancy("dedup_minhash_lsh",
+      (0 until numBands).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bk"))
+      }.reduce(_ unionAll _), Seq("band", "bk"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -191,8 +191,8 @@ ORDER BY a, b"""
   val SimhashBands = 4 // 8-bit bands: guaranteed recall at hamming <= 3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = fpBands(simhashSignatures(docs(spark, dir)))
-    Similarity.guardOccupancy("dedup_simhash", banded, Seq("band", "bk"))
+    val banded = Similarity.guardOccupancy("dedup_simhash",
+      fpBands(simhashSignatures(docs(spark, dir))), Seq("band", "bk"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -263,12 +263,12 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * text scanned is the delta's. */
   def dedupAgainstSignatures(corpusSigs: DataFrame, delta: DataFrame): DataFrame = {
     val deltaSigs = minhashSignatures(delta)
-    val cand = sigBands(corpusSigs).as("x").join(sigBands(deltaSigs).as("y"),
+    val corpusBands = Similarity.guardOccupancy("dedup_incremental",
+      sigBands(corpusSigs), Seq("band", "bk"))
+    val cand = corpusBands.as("x").join(sigBands(deltaSigs).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
       .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"))
       .distinct()
-    Similarity.guardOccupancy("dedup_incremental", sigBands(corpusSigs),
-      Seq("band", "bk"))
     val ca = corpusSigs.select(col("doc_id").as("corpus_id") +:
       (0 until MinhashK).map(k => col(s"h$k").as(s"a_h$k")): _*)
     val cb = deltaSigs.select(col("doc_id").as("new_id") +:

@@ -45,6 +45,21 @@ class KnobsSpec extends AnyFunSuite {
     assert(bound > 0)
   }
 
+  test("occupancy telemetry is always on, queryable, and bounds candidates") {
+    // building the operator records its histogram (no env flag needed)
+    val pairs = Similarity.cosineDedup(spark, sf)
+    val rec = Similarity.lastOccupancy("embed_cosine_dedup")
+      .getOrElse(fail("embed_cosine_dedup must record occupancy telemetry"))
+    assert(rec.buckets > 0)
+    assert(pairs.count() <= rec.candidatePairs,
+      s"verified pairs must be bounded by the recorded candidate volume $rec")
+
+    val mh = TextPipeline.dedupMinhashLsh(spark, sf)
+    val mhRec = Similarity.lastOccupancy("dedup_minhash_lsh")
+      .getOrElse(fail("dedup_minhash_lsh must record occupancy telemetry"))
+    assert(mh.count() <= mhRec.candidatePairs)
+  }
+
   test("annLsh planes knob changes the bucketing and bounds occupancy") {
     import org.apache.spark.sql.functions._
     def maxOcc(planes: Int): Long = {
