@@ -282,25 +282,28 @@ ORDER BY vec_id"""
     val assigned = guardOccupancy("embed_ann_ivf",
       e.withColumn("cluster", clusterOf(col("v"), cents)), Seq("cluster"))
 
-    // per-query probe list: `probe` nearest centroids (driver-side over
-    // the K-row centroid table; ties by cid)
+    // per-query probe selection stays DISTRIBUTED: queries cross-join the
+    // broadcast K-row centroid table (the only driver-side object is the
+    // K x Dim centroid array Lloyd's update already produces — bounded
+    // metadata, like AQE stats) and take the `probe` nearest centroids via
+    // row_number, which compiles to WindowGroupLimit. No query-side
+    // collect: the same plan serves 5 queries or 10^5.
     import spark.implicits._
-    val qs = e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
-      .select("vec_id", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val probes = qs.map { case (qid, qv0) =>
-      val top = cents.zipWithIndex.map { case (c, i) =>
-        (c.zip(qv0).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
-      }.sorted.take(probe).map(_._2)
-      (qid, qv0.toSeq, top.toSeq)
-    }.toSeq.toDF("query_id", "qv", "probes")
-
+    val centDF = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "c")
+    val qside = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
     // inverted-file lookup as an EQUI-join on cluster id (probes exploded
     // to (query, cluster) rows) — hash join, not a nested-loop scan
-    val probeRows = probes.select(col("query_id"), col("qv"),
-      explode(col("probes")).as("cluster"))
+    val probeRows = qside.crossJoin(broadcast(centDF))
+      .withColumn("d2", dist2(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= probe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
     broadcast(probeRows)
       .join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
