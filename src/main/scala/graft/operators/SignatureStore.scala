@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.lake.LakeTable
+import graft.model.{ChangeEvent, TableMapping, TableMode, TableSpec}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-dup signature tables maintained BY the CDC ingest loop — the
+  * composition that lets dedup ride continuous ingest instead of
+  * re-scanning the corpus (SURVEY §2.7 X13): as each micro-batch merges
+  * into a text-bearing lake table, the batch's per-key folded text upserts
+  * MinHash signatures + a SimHash fingerprint into a companion signatures
+  * lake table, so `TextPipeline.dedupAgainstSignatures` /
+  * `dedupSimhashAgainstFps` can dedup a newly-arrived batch against corpus
+  * SIGNATURES only. Steady-state cost per batch: the delta's text once,
+  * plus the touched signature buckets — never the corpus text.
+  *
+  * Signature semantics under the CDC fold (all oracle-checked by
+  * SignatureStoreSpec):
+  *   - net insert / delete-then-insert (TO_ROW): sign the folded row's
+  *     text (NULL text -> a row with NULL hashes, keeping row-existence
+  *     1:1 with the target table);
+  *   - update carrying text (OVERRIDE with text present): re-sign;
+  *   - unchanged-TOAST update (OVERRIDE, text ABSENT from the value map):
+  *     keep the existing hashes — the text did not change, so re-reading
+  *     the target row to recompute an identical signature would be waste;
+  *   - net delete (TO_ABSENT): drop the signature row.
+  *
+  * Exactly-once: the same commit-epoch skip as `Replay.applyBatch`, on the
+  * signature table's own snapshot — the signature route replays
+  * independently of the main route after a crash between the two commits.
+  */
+object SignatureStore {
+
+  val K: Int = TextPipeline.MinhashK
+
+  /** doc_id = the doc table's merge key rendered to one string (multi-part
+    * keys joined by  — a code point Postgres text values cannot
+    * contain). */
+  val DocIdSep = ""
+
+  def schema: StructType = StructType(
+    StructField("doc_id", StringType, nullable = false) +:
+      ((0 until K).map(k => StructField(s"h$k", StringType, nullable = true)) :+
+        StructField("fp", LongType, nullable = true)))
+
+  def spec(name: String = "signatures", numBuckets: Int = 16): TableSpec =
+    TableSpec(name, schema, keyCols = Seq("doc_id"), bucketCols = Seq("doc_id"),
+      numBuckets = numBuckets)
+
+  /** MinHash + SimHash signatures for a (doc_id, text) frame. LEFT joins
+    * keep a row for every doc — a doc with no shingles/words (short or
+    * NULL text) carries NULL hashes, so signature-row existence stays 1:1
+    * with doc existence and NULL band keys never produce candidates. */
+  def signaturesOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.select("doc_id").distinct()
+      .join(TextPipeline.minhashSignatures(base), Seq("doc_id"), "left_outer")
+      .join(TextPipeline.simhashSignatures(base), Seq("doc_id"), "left_outer")
+  }
+
+  /** Apply one micro-batch of change events for `mapping` to the signature
+    * table. `docLake` supplies the doc table's merge key and env schema so
+    * routing/filter/set and the per-key fold mirror the main route
+    * exactly; only the `textCol` column is folded (a one-column fold — far
+    * cheaper than the full-row fold the main merge pays).
+    * Returns true if applied (false = epoch already covers batchId). */
+  def applyBatch(sig: LakeTable, events: Dataset[ChangeEvent],
+                 mapping: TableMapping, docLake: LakeTable,
+                 textCol: String = "text", batchId: Long,
+                 epochKey: String = "commit-epoch"): Boolean = {
+    val spark = events.sparkSession
+    val committed = sig.snapshot().properties.getOrElse(epochKey, "-1").toLong
+    if (batchId <= committed) return false
+
+    val docSnap = docLake.snapshot()
+    val mergeKey = (if (docSnap.hasSid) Seq("sid") else Nil) ++ docSnap.keyCols
+    val envSchema = mapping.sourceSchema.getOrElse(docSnap.schema)
+    val routed = events.filter(Replay.routeCond(mapping))
+    val transformed = Replay.filterTransform(routed, mapping, envSchema)
+      .filter(col("op").isin("I", "U", "D"))
+    val appendMode = mapping.mode == TableMode.Append
+
+    // one-column fold: per doc key, the net effect on (existence, text)
+    val folded = Replay.foldToXfDF(
+      Replay.normalizeDF(transformed.toDF(), mergeKey, appendMode),
+      payloadCols = Seq(textCol))
+    if (folded.isEmpty) {
+      sig.commit(Nil, Set.empty, properties = Map(epochKey -> batchId.toString))
+      return true
+    }
+    val f = folded.select(
+      concat_ws(DocIdSep, (0 until mergeKey.length).map(i =>
+        element_at(col("key"), i + 1)): _*).as("doc_id"),
+      col("absentExists"), col("presentKind"),
+      map_contains_key(col("onAbsent"), textCol).as("a_has"),
+      element_at(col("onAbsent"), textCol).as("a_txt"),
+      map_contains_key(col("onPresent"), textCol).as("p_has"),
+      element_at(col("onPresent"), textCol).as("p_txt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val snap = sig.snapshot()
+      val bucketOf = pmod(xxhash64(col("doc_id")), lit(snap.numBuckets))
+      val touched = f.select(bucketOf.cast("int").as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val target = sig.read(buckets = Some(touched))
+
+      val j = target.alias("t").join(f.alias("x"),
+        col("t.doc_id") === col("x.doc_id"), "full_outer")
+      val fNull = col("x.presentKind").isNull
+      val sigExists = col("t.doc_id").isNotNull
+      val toAbsent = col("x.presentKind") === lit(Xf.TO_ABSENT)
+      val toRow = col("x.presentKind") === lit(Xf.TO_ROW)
+      // survives iff: untouched, or folded state exists
+      val survives = fNull ||
+        (when(sigExists, !toAbsent).otherwise(col("x.absentExists")))
+      // needs re-signing iff the folded state DEFINES the text:
+      //   TO_ROW (row replaced), new row (insert), or OVERRIDE carrying text
+      val resign = !fNull && (toRow || !sigExists || col("x.p_has"))
+      val newText = when(toRow || (sigExists && col("x.p_has")), col("x.p_txt"))
+        .otherwise(col("x.a_txt"))
+      val rows = j.filter(survives).select(
+        coalesce(col("t.doc_id"), col("x.doc_id")).as("doc_id"),
+        resign.as("__resign"), newText.as("__text"),
+        struct((0 until K).map(k => col(s"t.h$k")) :+ col("t.fp"): _*).as("__old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keep = rows.filter(!col("__resign"))
+          .select(col("doc_id") +: ((0 until K).map(k =>
+            col("__old").getField(s"h$k").as(s"h$k")) :+
+            col("__old").getField("fp").as("fp")): _*)
+        val signed = signaturesOf(rows.filter(col("__resign"))
+          .select(col("doc_id"), col("__text").as("text")))
+        val out = keep.unionByName(signed)
+          .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
+        val newFiles = sig.writeDataFiles(out, snap.currentSchemaId)
+        val removed = snap.files.filter(df => touched.contains(df.bucket))
+          .map(_.path).toSet
+        sig.commit(newFiles, removed,
+          properties = Map(epochKey -> batchId.toString))
+        true
+      } finally rows.unpersist()
+    } finally f.unpersist()
+  }
+}

@@ -282,18 +282,50 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
       .orderBy("corpus_id", "new_id")
   }
 
+  // temp signature lakes built by the driver-contract entries are removed
+  // on JVM exit (one shutdown hook, dirs accumulated)
+  private val tmpLakes = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpLakeHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tmpLakes.forEach { p =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(p.toFile)
+    }))
+
+  /** One-time ingest phase for the driver-contract entries: scan the
+    * corpus text ONCE and materialize its signatures (MinHash + SimHash,
+    * one row per doc) into a signatures LAKE table — the exact artifact
+    * [[SignatureStore.applyBatch]] maintains continuously during CDC
+    * ingest, so the driver gate exercises the real composition shape. */
+  private def ingestCorpusSignatures(spark: SparkSession,
+                                     corpus: DataFrame): graft.lake.LakeTable = {
+    tmpLakeHook
+    val root = java.nio.file.Files.createTempDirectory("graft-siglake")
+    tmpLakes.add(root)
+    val sig = graft.lake.LakeTable.create(spark, s"$root/signatures",
+      SignatureStore.spec())
+    val rows = SignatureStore.signaturesOf(
+      corpus.select(col("doc_id").cast("string").as("doc_id"), col("text")))
+    val snap = sig.snapshot()
+    val withB = rows.withColumn("__bucket",
+      pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
+    sig.commit(sig.writeDataFiles(withB, snap.currentSchemaId), Set.empty)
+    sig
+  }
+
   /** Driver-contract entry: the first 4/5 of the documents table plays the
-    * ingested corpus (signatures persisted to parquet — the lake shape),
-    * the last 1/5 plays the newly-arriving batch. */
+    * ingested corpus — its signatures materialized through the signatures
+    * LakeTable (the CDC-maintained artifact) — and the last 1/5 plays the
+    * newly-arriving batch, deduped against the lake signatures only. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
-    val sigPath = java.nio.file.Files
-      .createTempDirectory("graft-sigs").toString + "/signatures.parquet"
-    // ingest phase: corpus text scanned ONCE to build the signature table
-    minhashSignatures(d.filter(col("doc_id") < split)).write.parquet(sigPath)
+    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split))
     // steady state: delta text + corpus SIGNATURES only
-    dedupAgainstSignatures(spark.read.parquet(sigPath),
+    dedupAgainstSignatures(
+      sig.read().select(col("doc_id").cast("long").as("doc_id") +:
+        (0 until MinhashK).map(k => col(s"h$k")): _*),
       d.filter(col("doc_id") >= split))
   }
 
@@ -330,14 +362,16 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
       .filter(col("hamming") <= 3)
       .orderBy("corpus_id", "new_id")
 
-  /** Driver-contract entry, same corpus/delta split as dedupIncremental. */
+  /** Driver-contract entry, same corpus/delta split and the same lake-
+    * table signature artifact as dedupIncremental (one table carries both
+    * families; this one reads the `fp` column). Rows with NULL fp (docs
+    * with no words) band to NULL keys and can never produce candidates. */
   def dedupIncrementalSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
-    val fpPath = java.nio.file.Files
-      .createTempDirectory("graft-fps").toString + "/fps.parquet"
-    simhashSignatures(d.filter(col("doc_id") < split)).write.parquet(fpPath)
-    dedupSimhashAgainstFps(spark.read.parquet(fpPath),
+    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split))
+    dedupSimhashAgainstFps(
+      sig.read().select(col("doc_id").cast("long").as("doc_id"), col("fp")),
       d.filter(col("doc_id") >= split))
   }
 

@@ -35,14 +35,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CdcStream {
 
+  /** Companion signatures table maintained per applied micro-batch (the
+    * ingest half of incremental dedup — SignatureStore). */
+  final case class SignatureSink(lake: LakeTable, textCol: String = "text")
+
   /** @param sidOverride stamp every event with this tenant sid (the
     *                    reference assigns the sid per source URL in config,
     *                    `map.go:17-43` — it is NOT wire data)
     * @param epochKey    snapshot-property key for this stream's
-    *                    exactly-once epoch (per-source to survive fan-in) */
+    *                    exactly-once epoch (per-source to survive fan-in)
+    * @param signatures  optional near-dup signature table updated from the
+    *                    same batch after the main merge; it keeps its own
+    *                    epoch on its own snapshot, so a crash between the
+    *                    two commits replays only the missing half */
   final case class Route(mapping: TableMapping, lake: LakeTable,
                          sidOverride: Option[String] = None,
-                         epochKey: String = "commit-epoch")
+                         epochKey: String = "commit-epoch",
+                         signatures: Option[SignatureSink] = None)
 
   /** One lock per table root: cross-stream applies to one lake serialize
     * (single-writer commit protocol; see class doc). Shared with the
@@ -81,6 +90,14 @@ object CdcStream {
             else
               Replay.applyBatch(r.lake, events, r.mapping, batchId, salts, r.epochKey)
           }
+          r.signatures.filter(_ => r.mapping.mode != TableMode.History)
+            .foreach { s =>
+              lockFor(s.lake.root).synchronized {
+                graft.operators.SignatureStore.applyBatch(s.lake, events,
+                  r.mapping, r.lake, s.textCol, batchId = batchId,
+                  epochKey = r.epochKey)
+              }
+            }
         }
       }
       .start()

@@ -1,0 +1,139 @@
+package graft
+
+import graft.lake.LakeTable
+import graft.model.{ChangeEvent, TableMapping, TableSpec}
+import graft.operators.{SignatureStore, TextPipeline}
+import graft.streaming.CdcStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ingest half of incremental dedup: signatures maintained per applied
+  * micro-batch by the CDC loop, and a delta batch deduped against corpus
+  * SIGNATURES agreeing with the whole-corpus MinHash-LSH operator on
+  * (corpus, delta) pairs. */
+class SignatureStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docSpec = TableSpec("docs",
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("meta", StringType, nullable = true))),
+    keyCols = Seq("doc_id"), bucketCols = Seq("doc_id"), numBuckets = 4)
+  private val mapping = TableMapping("docs", "docs")
+
+  private def iEv(lsn: Long, id: Long, text: String, meta: String = "m"): ChangeEvent =
+    ChangeEvent(lsn, 0, "I", "docs", "s0", "none", Map.empty,
+      Map("doc_id" -> id.toString) ++
+        Option(text).map("text" -> _).toMap + ("meta" -> meta))
+  private def uEv(lsn: Long, id: Long, kv: Map[String, String]): ChangeEvent =
+    ChangeEvent(lsn, 0, "U", "docs", "s0", "none", Map.empty,
+      Map("doc_id" -> id.toString) ++ kv)
+  private def dEv(lsn: Long, id: Long): ChangeEvent =
+    ChangeEvent(lsn, 0, "D", "docs", "s0", "none",
+      Map("doc_id" -> id.toString), Map.empty)
+
+  private def sigRows(sig: LakeTable): Map[String, (String, Any)] =
+    sig.read().collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.get(SignatureStore.K + 1)))
+      .toMap
+
+  test("fold semantics: insert, TOAST-unchanged, text update, delete, reinsert") {
+    val dir = SparkTestBase.tmpDir("sigstore")
+    val docs = LakeTable.create(spark, s"$dir/docs", docSpec)
+    val sig = LakeTable.create(spark, s"$dir/sigs", SignatureStore.spec())
+    val t1 = (0 until 20).map(i => s"one$i").mkString(" ")
+    val t3 = (0 until 20).map(i => s"three$i").mkString(" ")
+    val t3b = (0 until 20).map(i => s"newthree$i").mkString(" ")
+
+    def apply(b: Long, evs: Seq[ChangeEvent]): Unit = {
+      graft.operators.Replay.applyBatch(docs, evs.toDS(), mapping, b)
+      SignatureStore.applyBatch(sig, evs.toDS(), mapping, docs, batchId = b)
+    }
+
+    apply(0, Seq(iEv(1, 1, t1), iEv(2, 2, null), iEv(3, 3, t3)))
+    val s0 = sigRows(sig)
+    assert(s0.keySet == Set("1", "2", "3"))
+    assert(s0("2")._1 == null, "NULL text keeps a row with NULL hashes")
+    assert(s0("1")._1 != null && s0("3")._1 != null)
+
+    // TOAST-ish update (text absent) keeps doc 1's hashes; text update
+    // re-signs doc 3; delete drops doc 2
+    apply(1, Seq(uEv(10, 1, Map("meta" -> "m2")),
+      uEv(11, 3, Map("text" -> t3b)), dEv(12, 2)))
+    val s1 = sigRows(sig)
+    assert(s1.keySet == Set("1", "3"))
+    assert(s1("1") == s0("1"), "unchanged-TOAST update must keep the signature")
+    assert(s1("3") != s0("3"), "text update must re-sign")
+
+    // idempotent replay: same batchId skips (no new snapshot)
+    val v = sig.currentVersion
+    SignatureStore.applyBatch(sig, Seq(dEv(12, 2)).toDS(), mapping, docs, batchId = 1)
+    assert(sig.currentVersion == v, "replayed batch must be epoch-skipped")
+
+    // reinsert after delete
+    apply(2, Seq(iEv(20, 2, t1)))
+    val s2 = sigRows(sig)
+    assert(s2.keySet == Set("1", "2", "3"))
+    assert(s2("2")._1 == s2("1")._1, "same text => same minhash h0")
+
+    // signature rows mirror the doc table's live keys exactly
+    val live = docs.read().select("doc_id").collect().map(_.getLong(0).toString).toSet
+    assert(s2.keySet == live)
+  }
+
+  test("streamed ingest + incremental dedup == whole-corpus LSH on (corpus, delta)") {
+    val dir = SparkTestBase.tmpDir("sigstream")
+    val base = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val corpusTexts: Seq[(Long, String)] =
+      (0L until 6L).map(i =>
+        i -> (s"corpus doc $i " + (0 until 40).map(j => s"w$i-$j").mkString(" "))) ++
+        Seq(6L -> base,
+          7L -> base.replace("tok50 ", "changed50 ")) // near-dup pair 6-7
+    val deltaTexts: Seq[(Long, String)] = Seq(
+      100L -> base, // near-dup of corpus 6 (exact) and 7
+      101L -> ("fresh unrelated content " + (0 until 40).map(j => s"u$j").mkString(" ")))
+
+    // WAL: seg0 = corpus inserts (batch 0), seg1 = delta inserts (batch 1)
+    corpusTexts.zipWithIndex.map { case ((id, t), i) => iEv(i + 1, id, t) }
+      .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00000")
+    val docs = LakeTable.create(spark, s"$dir/docs", docSpec)
+    val sig = LakeTable.create(spark, s"$dir/sigs", SignatureStore.spec())
+    val routes = Seq(CdcStream.Route(mapping, docs,
+      signatures = Some(CdcStream.SignatureSink(sig))))
+    CdcStream.runAvailable(spark, s"$dir/wal/seg-*", s"$dir/ckpt", routes)
+    val corpusVersion = sig.currentVersion
+    assert(sigRows(sig).keySet == corpusTexts.map(_._1.toString).toSet)
+
+    // the delta batch arrives; the stream resumes from its checkpoint and
+    // the signature table advances incrementally
+    deltaTexts.zipWithIndex.map { case ((id, t), i) => iEv(100 + i, id, t) }
+      .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00001")
+    CdcStream.runAvailable(spark, s"$dir/wal/seg-*", s"$dir/ckpt", routes)
+    assert(sigRows(sig).keySet ==
+      (corpusTexts ++ deltaTexts).map(_._1.toString).toSet)
+
+    // incremental dedup of the delta against the CORPUS-state signatures
+    val corpusSigs = sig.read(version = corpusVersion)
+    val delta = deltaTexts.toDF("doc_id", "text")
+    val inc = TextPipeline.dedupAgainstSignatures(corpusSigs, delta)
+      .collect().map(r => (r.getString(0).toLong, r.getLong(1))).toSet
+
+    // ground truth: the whole-corpus MinHash-LSH operator restricted to
+    // (corpus, delta) pairs
+    val all = (corpusTexts ++ deltaTexts).map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    all.write.parquet(s"$dir/full/documents.parquet")
+    val full = TextPipeline.dedupMinhashLsh(spark, s"$dir/full")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100 && b >= 100 }.toSet
+    assert(inc == full,
+      s"incremental (signatures-only) must agree with whole-corpus LSH on " +
+        s"(corpus, delta) pairs: inc=$inc full=$full")
+    assert(inc.contains((6L, 100L)), "the planted near-dup must be found")
+  }
+}
