@@ -47,11 +47,17 @@ object CdcStream {
     * @param signatures  optional near-dup signature table updated from the
     *                    same batch after the main merge; it keeps its own
     *                    epoch on its own snapshot, so a crash between the
-    *                    two commits replays only the missing half */
+    *                    two commits replays only the missing half
+    * @param lsnFloor    drop events with lsn <= this before applying
+    *                    (anomaly healing: a lost checkpoint replays the
+    *                    whole WAL, and the floor — the table's recorded
+    *                    applied watermark — turns that into a zone-pruned
+    *                    catch-up instead of a duplicate apply); -1 = off */
   final case class Route(mapping: TableMapping, lake: LakeTable,
                          sidOverride: Option[String] = None,
                          epochKey: String = "commit-epoch",
-                         signatures: Option[SignatureSink] = None)
+                         signatures: Option[SignatureSink] = None,
+                         lsnFloor: Long = -1L)
 
   /** One lock per table root: cross-stream applies to one lake serialize
     * (single-writer commit protocol; see class doc). Shared with the
@@ -80,9 +86,16 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         routes.foreach { r =>
+          // lsn floor as a Column predicate: it reaches the parquet scan as
+          // a pushed filter, so a healing catch-up replay reads only the
+          // row groups past the applied watermark
+          val floored =
+            if (r.lsnFloor >= 0L)
+              df.filter(org.apache.spark.sql.functions.col("lsn") > r.lsnFloor)
+            else df
           val events = (r.sidOverride match {
-            case Some(s) => df.withColumn("sid", lit(s))
-            case None => df
+            case Some(s) => floored.withColumn("sid", lit(s))
+            case None => floored
           }).as[ChangeEvent]
           lockFor(r.lake.root).synchronized {
             if (r.mapping.mode == TableMode.History)

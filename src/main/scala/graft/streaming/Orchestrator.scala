@@ -62,7 +62,7 @@ object Orchestrator {
               org.apache.spark.sql.streaming.Trigger.AvailableNow()): Seq[Handle] = {
     ProgressLog.attach(spark)
     dbMap.databases.flatMap { db =>
-      val routes0 = MapConfig.mappings(db).map { m =>
+      val routesInfo = MapConfig.mappings(db).map { m =>
         val root = s"$targetsRoot/${m.target}"
         val spec0 = specs.getOrElse(m.target, throw new IllegalArgumentException(
           s"no TableSpec for target '${m.target}' (database '${db.name}')"))
@@ -71,12 +71,45 @@ object Orchestrator {
               !spec0.schema.fieldNames.contains("kvsz_start"))
             spec0.copy(schema = History.historySchema(spec0.schema))
           else spec0
+        val existed = LakeTable.exists(root)
         val lake =
-          if (LakeTable.exists(root)) LakeTable.load(spark, root)
+          if (existed) LakeTable.load(spark, root)
           else LakeTable.create(spark, root, spec)
-        CdcStream.Route(m, lake)
+        (CdcStream.Route(m, lake), existed)
       }
+      val routes0 = routesInfo.map(_._1)
       db.urls.map { u =>
+        // ---- checkpoint x target anomaly reconciliation (the analog of
+        // the reference's slot/publication 4-state healing matrix,
+        // `replicate_database.go:183-213`). The checkpoint plays the
+        // replication slot; a `_graft_targets` marker inside it records
+        // which targets it has been routing to, distinguishing a VANISHED
+        // target (recorded but now missing -> the resume point is unsound
+        // for its recreated table) from a newly-ADDED mapping (not
+        // recorded -> normal add-table path: full sync + resume).
+        val ckptDir = java.nio.file.Paths.get(
+          s"$checkpointRoot/${db.name}-${u.sid}")
+        val markerFile = ckptDir.resolve("_graft_targets")
+        val recorded: Set[String] =
+          if (java.nio.file.Files.isRegularFile(markerFile)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(markerFile).asScala
+              .map(_.trim).filter(_.nonEmpty).toSet
+          } else Set.empty
+        val vanished = routesInfo.collect {
+          case (r, existed) if !existed && recorded.contains(r.mapping.target) =>
+            r.mapping.target
+        }
+        if (vanished.nonEmpty && java.nio.file.Files.isDirectory(ckptDir)) {
+          // heal: drop the checkpoint (slot analog) so the WAL replays from
+          // the start — the recreated target full-re-syncs below, and the
+          // lsn floors computed after seeding keep the SURVIVING targets
+          // from double-applying the replayed range
+          System.err.println(s"[orchestrator] targets ${vanished.mkString(",")} " +
+            s"vanished under checkpoint $ckptDir — dropping the checkpoint " +
+            "and re-syncing (slot-without-publication healing)")
+          deleteRecursively(ckptDir)
+        }
         // initial full sync: once per (table, sid), recorded atomically.
         // Under the table lock: an earlier URL's stream may already be
         // committing to the same target (single-writer commit protocol).
@@ -111,13 +144,51 @@ object Orchestrator {
                 properties = Map(r.epochKey -> props(legacy)))
           }
         }
-        val q = CdcStream.start(spark, u.url,
-          s"$checkpointRoot/${db.name}-${u.sid}", routes,
+        // heal the other half-state: target exists with applied batches but
+        // the CHECKPOINT is gone (publication-without-slot). The stream
+        // will replay the whole WAL with batch ids restarting at 0, which
+        // the committed epoch would otherwise skip wholesale — data loss.
+        // Rebase instead: epoch back to -1 so replayed batches apply, and
+        // an lsn floor at the table's per-sid applied watermark (lineage)
+        // so the catch-up replay skips everything already applied — a
+        // zone-pruned resume, NOT a duplicate full sync (the full-sync-*
+        // property survives, so backfill does not rerun).
+        val healedRoutes =
+          if (java.nio.file.Files.isDirectory(ckptDir)) routes
+          else routes.map { r =>
+            CdcStream.lockFor(r.lake.root).synchronized {
+              val snap = r.lake.snapshot()
+              if (snap.properties.getOrElse(r.epochKey, "-1").toLong < 0) r
+              else {
+                val floor = snap.lineage.filter(_.sid == u.sid)
+                  .map(_.maxLsn).maxOption.getOrElse(-1L)
+                System.err.println(s"[orchestrator] checkpoint $ckptDir " +
+                  s"missing for applied table ${r.mapping.target} — " +
+                  s"rebasing epoch and resuming from lsn > $floor")
+                r.lake.commit(Nil, Set.empty,
+                  properties = Map(r.epochKey -> "-1"))
+                r.copy(lsnFloor = floor)
+              }
+            }
+          }
+        // record the targets this checkpoint routes to (vanished-target
+        // detection on the next start)
+        java.nio.file.Files.createDirectories(ckptDir)
+        java.nio.file.Files.write(markerFile,
+          healedRoutes.map(_.mapping.target).sorted.mkString("\n").getBytes("UTF-8"))
+        val q = CdcStream.start(spark, u.url, ckptDir.toString, healedRoutes,
           salts = salts, maxFilesPerTrigger = maxFilesPerTrigger,
           trigger = trigger)
         Handle(db.name, u.url, u.sid, q)
       }
     }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   /** Start from a map FILE, drain all currently-available WAL, and stop —
@@ -149,6 +220,66 @@ object Orchestrator {
     *
     * Runs until `until()` turns true; returns the number of completed
     * drain cycles. */
+  /** Handle for a [[runContinuous]] deployment: stop() halts the watcher
+    * and the running streams (blocking until both are down). `current`
+    * exposes the live stream handles (they change across reloads). */
+  final class ContinuousHandle(@volatile private[Orchestrator] var handles: Seq[Handle],
+                               watcher: Thread,
+                               stopFlag: java.util.concurrent.atomic.AtomicBoolean) {
+    def current: Seq[Handle] = handles
+    def stop(): Unit = {
+      stopFlag.set(true)
+      watcher.join()
+      handles.foreach(_.query.stop())
+    }
+  }
+
+  /** Live map reload for a LONG-RUNNING deployment: streams run under a
+    * processing-time trigger (no drain boundaries), and a watcher thread
+    * stops/rebuilds/resumes them when the map file changes — the analog of
+    * the reference's config watcher + restart channel
+    * (`streamer/config.go:179-186`, `handle_url.go:242-245`,
+    * `kuvasz-streamer.go:102-118`). Safety across a restart is exactly the
+    * crash-window contract the engine already keeps: `query.stop()` may cut
+    * a micro-batch before its checkpoint commit, the batch replays on
+    * resume, and the per-(stream, mapping) epoch skips the halves that
+    * committed — no duplicates, no loss. An ADDED table full-syncs once
+    * (per-(table, sid) property); a REMOVED table stops being routed but
+    * its target is kept. */
+  def runContinuous(spark: SparkSession, mapPath: String, targetsRoot: String,
+                    specs: Map[String, TableSpec], checkpointRoot: String,
+                    backfill: (String, String) => Option[DataFrame] = (_, _) => None,
+                    salts: Int = 0,
+                    maxFilesPerTrigger: Int = 1,
+                    pollMs: Long = 250,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.ProcessingTime(250)): ContinuousHandle = {
+    def boot(): Seq[Handle] = start(spark, MapConfig.load(mapPath), targetsRoot,
+      specs, checkpointRoot, backfill, salts, maxFilesPerTrigger, trigger)
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def mtime: Long = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(mapPath)).toMillis
+    var handle: ContinuousHandle = null
+    val watcher = new Thread(() => {
+      var last = mtime
+      while (!stopFlag.get()) {
+        Thread.sleep(pollMs)
+        val mt = try mtime catch { case _: java.io.IOException => last }
+        if (mt != last && !stopFlag.get()) {
+          last = mt
+          System.err.println("[orchestrator] map file changed — stopping " +
+            "streams, rebuilding routes, resuming from checkpoints")
+          handle.handles.foreach(_.query.stop()) // blocks until terminated
+          handle.handles = boot()
+        }
+      }
+    }, "graft-map-watcher")
+    watcher.setDaemon(true)
+    handle = new ContinuousHandle(boot(), watcher, stopFlag)
+    watcher.start()
+    handle
+  }
+
   def runWatched(spark: SparkSession, mapPath: String, targetsRoot: String,
                  specs: Map[String, TableSpec], checkpointRoot: String,
                  backfill: (String, String) => Option[DataFrame] = (_, _) => None,

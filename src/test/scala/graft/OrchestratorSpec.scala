@@ -214,28 +214,231 @@ class OrchestratorSpec extends AnyFunSuite {
       s"added table must hold exactly the post-attach fold: ${b.read().count()} vs ${want.size}")
   }
 
+  private def opCounts(lake: LakeTable): Map[String, Long] =
+    lake.snapshot().properties.collect {
+      case (k, v) if k.startsWith("metrics-ops-") =>
+        k.stripPrefix("metrics-ops-") -> v.toLong
+    }
+
+  private def stateOf(lake: LakeTable): Seq[Seq[Any]] =
+    lake.read().orderBy("conv_id", "turn_idx").collect().map(_.toSeq).toSeq
+
   test("legacy per-stream epoch key seeds the per-mapping key on upgrade") {
     val dir = SparkTestBase.tmpDir("orchlegacy")
     Gen.writeLog(spark, Gen.Config(numEvents = 2000, numConvs = 20, seed = 303),
-      s"$dir/wal", 1)
-    // a pre-rename deployment left this table with batches committed under
-    // the LEGACY key `commit-epoch-<db>-<sid>` (no source-table suffix);
-    // its checkpoint is gone, so the stream will redeliver every batch
-    val lake = LakeTable.create(spark, s"$dir/targets/transcripts",
-      Transcripts.spec(numBuckets = 4))
-    lake.commit(Nil, Set.empty, properties = Map("commit-epoch-app-s0" -> "999"))
+      s"$dir/wal", 2, filesPerSegment = 1) // 2 files -> batches 0 and 1
     val mapJson =
       s"""{"databases":[{"name":"app",
          |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
          |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin
     Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("transcripts" -> Transcripts.spec(numBuckets = 4))
     Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
-      Map("transcripts" -> Transcripts.spec(numBuckets = 4)), s"$dir/ckpt")
+      specs, s"$dir/ckpt")
+    val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+    val counts1 = opCounts(lake)
+    val state1 = stateOf(lake)
+
+    // simulate a PRE-RENAME deployment: rewrite the manifest so the epoch
+    // lives under the legacy `commit-epoch-app-s0` key only
+    val newKey = "commit-epoch-app-s0-transcripts"
+    val snap = lake.snapshot()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      .registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val legacySnap = snap.copy(version = snap.version + 1,
+      properties = (snap.properties - newKey) +
+        ("commit-epoch-app-s0" -> snap.properties(newKey)))
+    Files.write(Paths.get(s"$dir/targets/transcripts/_meta/" +
+      f"v${legacySnap.version}%020d.json"), mapper.writeValueAsBytes(legacySnap))
+    // crash window: the last checkpoint commit is lost -> batch 1 redelivers
+    // (the ChecksumFs .crc sidecar goes with it, as a real crash would
+    // leave neither)
+    Files.delete(Paths.get(s"$dir/ckpt/app-s0/commits/1"))
+    Files.deleteIfExists(Paths.get(s"$dir/ckpt/app-s0/commits/.1.crc"))
+
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
     val after = LakeTable.load(spark, s"$dir/targets/transcripts")
-    assert(after.snapshot().properties.get("commit-epoch-app-s0-transcripts")
-      .contains("999"), "per-mapping epoch key must seed from the legacy key")
-    assert(after.read().count() == 0,
-      "redelivered batches already committed under the legacy key must skip")
+    assert(after.snapshot().properties.get(newKey).exists(_.toLong >= 1),
+      "per-mapping epoch key must seed from the legacy key")
+    assert(opCounts(after) == counts1,
+      "the redelivered batch must be skipped via the seeded epoch — " +
+        s"counters moved: ${counts1} -> ${opCounts(after)}")
+    assert(stateOf(after) == state1)
+  }
+
+  test("vanished target under a live checkpoint: recreate + full re-sync, " +
+    "surviving sibling protected by the lsn floor") {
+    val dir = SparkTestBase.tmpDir("orchvanish")
+    val cfg = Gen.Config(numEvents = 3000, numConvs = 30, seed = 404,
+      sourceTables = Seq("t1", "t2"), evolveAtId = None)
+    Gen.writeLog(spark, cfg, s"$dir/wal", 2, filesPerSegment = 1)
+    val bf = (0 until 5).map(i => (s"bf-$i", i, "user", s"backfill $i",
+      null: String, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val backfill = (table: String, _: String) =>
+      if (table == "t2") Some(bf.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+      else None
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"t1":{"type":"clone","target":"t1"},
+         |            "t2":{"type":"clone","target":"t2"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map(
+      "t1" -> Transcripts.spec(name = "t1", numBuckets = 4),
+      "t2" -> Transcripts.spec(name = "t2", numBuckets = 4))
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+    val t1a = LakeTable.load(spark, s"$dir/targets/t1")
+    val t2a = LakeTable.load(spark, s"$dir/targets/t2")
+    val (c1, s1) = (opCounts(t1a), stateOf(t1a))
+    val s2 = stateOf(t2a)
+    assert(s2.exists(_.head.toString.startsWith("bf-")))
+
+    // the t2 target table vanishes (operator error / storage loss)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/targets/t2"))
+
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+    val t1b = LakeTable.load(spark, s"$dir/targets/t1")
+    val t2b = LakeTable.load(spark, s"$dir/targets/t2")
+    assert(stateOf(t2b) == s2,
+      "vanished target must be recreated: backfill re-synced + WAL replayed")
+    assert(stateOf(t1b) == s1, "surviving sibling state must not change")
+    assert(opCounts(t1b) == c1,
+      "surviving sibling must not re-apply the replayed WAL (lsn floor): " +
+        s"$c1 -> ${opCounts(t1b)}")
+  }
+
+  test("missing checkpoint over an applied table: watermark resume, no loss, " +
+    "no duplicate apply, no duplicate full sync") {
+    val dir = SparkTestBase.tmpDir("orchnockpt")
+    Gen.writeLog(spark, Gen.Config(numEvents = 3000, numConvs = 30, seed = 505),
+      s"$dir/wal", 2, filesPerSegment = 1)
+    val bf = (0 until 3).map(i => (s"bf-$i", i, "user", s"backfill $i",
+      null: String, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val backfill = (table: String, _: String) =>
+      if (table == "transcripts")
+        Some(bf.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+      else None
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("transcripts" -> Transcripts.spec(numBuckets = 4))
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+    val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+    val (c1, s1) = (opCounts(lake), stateOf(lake))
+
+    // the checkpoint is lost; NEW events exist beyond the applied watermark
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+    val fresh = Seq(
+      graft.model.ChangeEvent(999999L, 0, "I", "transcripts", "s0", "none",
+        Map.empty, Map("conv_id" -> "post-heal", "turn_idx" -> "0",
+          "role" -> "user", "text" -> "new event")))
+    fresh.toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00002")
+
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+    val after = LakeTable.load(spark, s"$dir/targets/transcripts")
+    val rows = stateOf(after)
+    assert(rows.exists(_.head == "post-heal"),
+      "events past the applied watermark must apply (no loss)")
+    assert(rows.filterNot(_.head == "post-heal") == s1,
+      "already-applied state must not change (no duplicate apply)")
+    assert(opCounts(after) == c1.updated("I", c1("I") + 1),
+      "only the ONE new insert may move the counters: " +
+        s"$c1 -> ${opCounts(after)}")
+    assert(rows.count(_.head.toString.startsWith("bf-")) == bf.size,
+      "full sync must NOT rerun (full-sync property survives healing)")
+  }
+
+  test("live reload under a processing-time trigger: map change mid-stream, " +
+    "no duplicates, no loss, added table syncs once") {
+    val dir = SparkTestBase.tmpDir("orchlive")
+    val cfg = Gen.Config(numEvents = 2000, numConvs = 20, seed = 606,
+      sourceTables = Seq("t1", "t2"), evolveAtId = None)
+    Gen.writeLog(spark, cfg, s"$dir/wal", 1, filesPerSegment = 1)
+    val bf = Seq(("bf-0", 0, "user", "bf", null: String,
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val backfill = (table: String, _: String) =>
+      if (table == "t2")
+        Some(bf.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+      else None
+    def mapJson(tables: String) =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{$tables}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"),
+      mapJson(""""t1":{"type":"clone","target":"t1"}"""))
+    val specs = Map(
+      "t1" -> Transcripts.spec(name = "t1", numBuckets = 4),
+      "t2" -> Transcripts.spec(name = "t2", numBuckets = 4))
+
+    def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!cond) {
+        if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+        Thread.sleep(200)
+      }
+    }
+    val expT1: Map[String, Long] = spark.read
+      .schema(graft.model.ChangeEvent.schema).parquet(s"$dir/wal/seg-00000")
+      .filter(col("source_table") === "t1").groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val h = Orchestrator.runContinuous(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill, pollMs = 100,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      await("t1 converged on seg0") {
+        LakeTable.exists(s"$dir/targets/t1") &&
+          opCounts(LakeTable.load(spark, s"$dir/targets/t1")) == expT1
+      }
+      assert(!LakeTable.exists(s"$dir/targets/t2"), "t2 not routed yet")
+
+      // reload mid-stream: the map gains t2 — no drain boundary
+      Files.writeString(Paths.get(s"$dir/map.json"), mapJson(
+        """"t1":{"type":"clone","target":"t1"},
+          |            "t2":{"type":"clone","target":"t2"}""".stripMargin))
+      await("t2 created + full-synced once") {
+        LakeTable.exists(s"$dir/targets/t2") && {
+          val t2 = LakeTable.load(spark, s"$dir/targets/t2")
+          t2.snapshot().properties.contains("full-sync-s0") &&
+            stateOf(t2).count(_.head == "bf-0") == 1
+        }
+      }
+
+      // live WAL lands mid-stream for BOTH tables
+      Seq(
+        graft.model.ChangeEvent(999990L, 0, "I", "t1", "s0", "none", Map.empty,
+          Map("conv_id" -> "live-1", "turn_idx" -> "0", "role" -> "user",
+            "text" -> "x")),
+        graft.model.ChangeEvent(999991L, 0, "I", "t2", "s0", "none", Map.empty,
+          Map("conv_id" -> "live-2", "turn_idx" -> "0", "role" -> "user",
+            "text" -> "y")))
+        .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00001")
+      await("post-reload WAL applied to both tables") {
+        stateOf(LakeTable.load(spark, s"$dir/targets/t1")).exists(_.head == "live-1") &&
+          stateOf(LakeTable.load(spark, s"$dir/targets/t2")).exists(_.head == "live-2")
+      }
+      // no duplicates on the pre-existing table: counters are EXACT even
+      // across the restart (epoch-skip covers a redelivered batch)
+      assert(opCounts(LakeTable.load(spark, s"$dir/targets/t1")) ==
+        expT1.updated("I", expT1.getOrElse("I", 0L) + 1),
+        "t1 counters must move by exactly the one live insert")
+      // added table synced exactly once
+      assert(stateOf(LakeTable.load(spark, s"$dir/targets/t2"))
+        .count(_.head == "bf-0") == 1)
+    } finally h.stop()
   }
 
   test("two mappings of ONE stream into one shared target: no epoch collision") {
