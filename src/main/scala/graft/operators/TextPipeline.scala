@@ -521,6 +521,33 @@ FROM m ORDER BY doc_id"""
   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
 FROM documents ORDER BY doc_id"""
 
+  /** Loadable-vocabulary token counting — the production hook the
+    * regex-BPE-ish default approximates (a real BPE vocab cannot ship in
+    * this sandbox): an in-vocab word costs 1 token, an out-of-vocab word
+    * falls back to ceil(len/4) (the byte-level degradation real tokenizers
+    * exhibit). The vocab joins as a BROADCAST hash table — no per-row
+    * driver lookup, no UDF, and the plan scales to any vocab a broadcast
+    * can hold (a 100k-entry BPE vocab is ~2 MB). Docs with no words count
+    * zero. Absent a vocab file, [[tokenCount]] stays the oracle-gated
+    * surface. */
+  def tokenCountWithVocab(spark: SparkSession, dir: String,
+                          vocabPath: java.nio.file.Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val vocab = java.nio.file.Files.readAllLines(vocabPath).asScala
+      .map(_.trim).filter(_.nonEmpty).distinct.toSeq
+      .toDF("w").withColumn("iv", lit(true))
+    val d = docs(spark, dir)
+    val exploded = d.select(col("doc_id"), explode(words).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(when(col("iv"), 1L)
+        .otherwise(ceil(length(col("w")) / 4.0).cast("long"))).as("vocab_tokens"))
+    d.select("doc_id").join(exploded, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("vocab_tokens"), lit(0L)).as("vocab_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // T4: document fingerprint — rolling polynomial hash over the word
   // stream (order-sensitive, mod 1e9+7)

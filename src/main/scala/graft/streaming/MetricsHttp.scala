@@ -37,14 +37,23 @@ object MetricsHttp {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
+  // Per-table render cache keyed by snapshot version: a scrape re-reads
+  // only the version listing (one directory list per table); the manifest
+  // — whose size is O(data files) — is re-parsed only when the table
+  // actually committed since the last scrape. Bounds scrape cost at fleet
+  // scale (O(tables x scrape rate) manifest parses was the hot spot).
+  private val blockCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
   /** Render the current counters for `tables` (name -> lake root). */
   def render(spark: org.apache.spark.sql.SparkSession,
              tables: Map[String, String],
              progress: Option[ProgressLog] = None): String = {
     val sb = new StringBuilder
-    def line(family: String, labels: Seq[(String, String)], v: String): Unit = {
+    def mkLine(out: StringBuilder)(family: String,
+                                   labels: Seq[(String, String)], v: String): Unit = {
       val ls = labels.map { case (k, x) => s"""$k="${esc(x)}"""" }.mkString(",")
-      sb.append(s"$family{$ls} $v\n")
+      out.append(s"$family{$ls} $v\n")
     }
     sb.append("# TYPE graft_ops_total counter\n")
     sb.append("# TYPE graft_delete_miss_total counter\n")
@@ -53,27 +62,39 @@ object MetricsHttp {
     sb.append("# TYPE graft_commit_epoch gauge\n")
     tables.toSeq.sortBy(_._1).foreach { case (name, root) =>
       try {
-        val snap = LakeTable.load(spark, root).snapshot()
-        val t = Seq("table" -> name)
-        snap.properties.toSeq.sorted.foreach {
-          case (k, v) if k.startsWith("metrics-ops-") =>
-            line("graft_ops_total", t :+ ("op" -> k.stripPrefix("metrics-ops-")), v)
-          case ("metrics-delete-miss", v) =>
-            line("graft_delete_miss_total", t, v)
-          case ("lsn-high-watermark", v) =>
-            line("graft_lsn_high_watermark", t, v)
-          case (k, v) if k.startsWith("commit-epoch") =>
-            val src = k.stripPrefix("commit-epoch").stripPrefix("-")
-            line("graft_commit_epoch",
-              t :+ ("source" -> (if (src.isEmpty) "default" else src)), v)
-          case _ =>
-        }
-        line("graft_snapshot_version", t, snap.version.toString)
-        line("graft_data_files", t, snap.files.size.toString)
-        line("graft_data_bytes", t, snap.files.map(_.bytes).sum.toString)
+        val lake = LakeTable.load(spark, root)
+        val version = lake.currentVersion
+        val cached = blockCache.get(root)
+        val block =
+          if (cached != null && cached._1 == version) cached._2
+          else {
+            val out = new StringBuilder
+            val line = mkLine(out) _
+            val snap = lake.snapshot(version)
+            val t = Seq("table" -> name)
+            snap.properties.toSeq.sorted.foreach {
+              case (k, v) if k.startsWith("metrics-ops-") =>
+                line("graft_ops_total", t :+ ("op" -> k.stripPrefix("metrics-ops-")), v)
+              case ("metrics-delete-miss", v) =>
+                line("graft_delete_miss_total", t, v)
+              case ("lsn-high-watermark", v) =>
+                line("graft_lsn_high_watermark", t, v)
+              case (k, v) if k.startsWith("commit-epoch") =>
+                val src = k.stripPrefix("commit-epoch").stripPrefix("-")
+                line("graft_commit_epoch",
+                  t :+ ("source" -> (if (src.isEmpty) "default" else src)), v)
+              case _ =>
+            }
+            line("graft_snapshot_version", t, snap.version.toString)
+            line("graft_data_files", t, snap.files.size.toString)
+            line("graft_data_bytes", t, snap.files.map(_.bytes).sum.toString)
+            blockCache.put(root, (version, out.toString))
+            out.toString
+          }
+        sb.append(block)
       } catch {
-        case e: Exception =>
-          line("graft_table_scrape_error", Seq("table" -> name), "1")
+        case _: Exception =>
+          mkLine(sb)("graft_table_scrape_error", Seq("table" -> name), "1")
       }
     }
     progress.foreach(p =>

@@ -154,6 +154,23 @@ class KnobsSpec extends AnyFunSuite {
     assert(sim.forall(t => full.contains((t._1, t._2))))
   }
 
+  test("loadable tokenizer vocab: in-vocab words cost 1, OOV falls back to len/4") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("vocab")
+    Seq((1L, "the quick extraordinarily fox", "en", "s", 29L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val vf = java.nio.file.Paths.get(s"$dir/vocab.txt")
+    java.nio.file.Files.writeString(vf, "the\nquick\nfox\n")
+    val res = TextPipeline.tokenCountWithVocab(spark, dir, vf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the(1) + quick(1) + extraordinarily(ceil(15/4)=4) + fox(1) = 7
+    assert(res == Map(1L -> 7L, 2L -> 0L), s"got $res")
+    // the regex default (the oracle-gated surface) is unaffected
+    assert(TextPipeline.tokenCount(spark, dir).count() == 2)
+  }
+
   test("minhash (K, bands) knob: r = K/bands wiring holds at non-defaults") {
     // K=12, bands=6 -> r=2 (looser S-curve): candidates are a superset of
     // the default 4x3 banding's VERIFIED pairs at the same threshold
