@@ -52,12 +52,23 @@ object SignatureStore {
   /** MinHash + SimHash signatures for a (doc_id, text) frame. LEFT joins
     * keep a row for every doc — a doc with no shingles/words (short or
     * NULL text) carries NULL hashes, so signature-row existence stays 1:1
-    * with doc existence and NULL band keys never produce candidates. */
-  def signaturesOf(docs: DataFrame): DataFrame = {
+    * with doc existence and NULL band keys never produce candidates.
+    * The ingest loop computes BOTH families (the one-table artifact); a
+    * caller rebuilding a stand-in table for one query may disable the
+    * family it will not read (the disabled columns stay in the schema as
+    * NULLs). */
+  def signaturesOf(docs: DataFrame, minhash: Boolean = true,
+                   simhash: Boolean = true): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    base.select("doc_id").distinct()
-      .join(TextPipeline.minhashSignatures(base), Seq("doc_id"), "left_outer")
-      .join(TextPipeline.simhashSignatures(base), Seq("doc_id"), "left_outer")
+    val ids = base.select("doc_id").distinct()
+    val withMh =
+      if (minhash) ids.join(TextPipeline.minhashSignatures(base),
+        Seq("doc_id"), "left_outer")
+      else ids.select(col("doc_id") +:
+        (0 until K).map(k => lit(null).cast("string").as(s"h$k")): _*)
+    if (simhash) withMh.join(TextPipeline.simhashSignatures(base),
+      Seq("doc_id"), "left_outer")
+    else withMh.withColumn("fp", lit(null).cast("long"))
   }
 
   /** Apply one micro-batch of change events for `mapping` to the signature

@@ -298,15 +298,17 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * one row per doc) into a signatures LAKE table — the exact artifact
     * [[SignatureStore.applyBatch]] maintains continuously during CDC
     * ingest, so the driver gate exercises the real composition shape. */
-  private def ingestCorpusSignatures(spark: SparkSession,
-                                     corpus: DataFrame): graft.lake.LakeTable = {
+  private def ingestCorpusSignatures(spark: SparkSession, corpus: DataFrame,
+                                     minhash: Boolean = true,
+                                     simhash: Boolean = true): graft.lake.LakeTable = {
     tmpLakeHook
     val root = java.nio.file.Files.createTempDirectory("graft-siglake")
     tmpLakes.add(root)
     val sig = graft.lake.LakeTable.create(spark, s"$root/signatures",
       SignatureStore.spec())
     val rows = SignatureStore.signaturesOf(
-      corpus.select(col("doc_id").cast("string").as("doc_id"), col("text")))
+      corpus.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+      minhash = minhash, simhash = simhash)
     val snap = sig.snapshot()
     val withB = rows.withColumn("__bucket",
       pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
@@ -321,7 +323,8 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
-    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split))
+    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split),
+      simhash = false) // the stand-in rebuild only needs the family it reads
     // steady state: delta text + corpus SIGNATURES only
     dedupAgainstSignatures(
       sig.read().select(col("doc_id").cast("long").as("doc_id") +:
@@ -369,7 +372,8 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   def dedupIncrementalSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
-    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split))
+    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split),
+      minhash = false)
     dedupSimhashAgainstFps(
       sig.read().select(col("doc_id").cast("long").as("doc_id"), col("fp")),
       d.filter(col("doc_id") >= split))
