@@ -14,8 +14,16 @@ object Plans {
     "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk")
 
   // knnBrute deliberately broadcasts the 5-row query side into a non-equi
-  // join; every other query must stay free of all-pairs operators
-  private val AllowedNlj = Set("embed_knn_topk")
+  // join; annIvf's probe selection cross-joins queries with the BROADCAST
+  // K-row centroid table (the required Q x K scoring work, bounded by K).
+  // Every other query must stay free of all-pairs operators — and the
+  // allowed ones must still show their REQUIRED scale shapes, so a
+  // regression of annIvf's corpus-side lookup from hash join to NLJ fails
+  // the audit even though an NLJ is allowed elsewhere in its plan.
+  private val AllowedNlj = Set("embed_knn_topk", "embed_ann_ivf")
+  private val RequiredShapes = Map(
+    "embed_ann_ivf" -> Seq("BroadcastHashJoin [cluster", "WindowGroupLimit"),
+    "embed_knn_topk" -> Seq("WindowGroupLimit"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -34,8 +42,11 @@ object Plans {
       df.collect() // force AQE final plan
       val plan = df.queryExecution.executedPlan.toString
       val nlj = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
-      val flag = if (nlj && !AllowedNlj.contains(name)) { bad += 1; "ALL-PAIRS!" }
-                 else if (nlj) "nlj (allowed)" else "ok"
+      val missing = RequiredShapes.getOrElse(name, Nil).filterNot(plan.contains)
+      val flag =
+        if (nlj && !AllowedNlj.contains(name)) { bad += 1; "ALL-PAIRS!" }
+        else if (missing.nonEmpty) { bad += 1; s"MISSING SHAPE: $missing" }
+        else if (nlj) "nlj (allowed, shapes verified)" else "ok"
       println(s"==== $name [$flag] " + "=" * 40)
       if (sys.env.get("GRAFT_PLANS_FULL").contains("1")) println(plan)
       else println(plan.linesIterator
