@@ -1,0 +1,290 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.config.MapConfig
+import graft.lake.LakeTable
+import graft.model.{TableMode, TableSpec}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption}
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** Admin control plane — the analog of the reference's REST API + config
+  * CRUD + JWT auth (`streamer/api.go:299-358`, `handle_db.go` /
+  * `handle_url.go` / `handle_tbl.go` / `handle_map.go`, `configdb.go`,
+  * `handle_auth.go`), re-expressed for the declarative engine: the map
+  * FILE is the config store (the reference's SQLite rows become structured
+  * edits of the same JSON the orchestrator loads), every mutation is
+  * validated through `MapConfig.parse` and written atomically, and the
+  * running streams react through the existing reload machinery
+  * (`Orchestrator.runWatched` / `runContinuous` watch the file's mtime —
+  * the restart-channel analog, `handle_url.go:242-245`). POST /api/restart
+  * bumps the mtime without changing content, forcing a stream rebuild
+  * (runtime URL restart).
+  *
+  * Table clone (`handle_map.go:90-172`): POST /api/tbl/{src}/clone creates
+  * the destination lake table from the SOURCE's schema (supplied by the
+  * `sourceSpec` callback — the catalog-scan analog of `t.SourceColumns`),
+  * honoring type=clone|append|history (history gets the kvsz_* validity
+  * columns) and partitions_regex, then adds the map entry — so the next
+  * reload routes it and the per-(table, sid) full-sync property triggers
+  * its initial sync exactly once.
+  *
+  * Auth mirrors `handle_auth.go` + `TokenValidationMiddleware`
+  * (`api.go:264-296`): Bearer JWT, HS256 only (any other alg rejected),
+  * `role` claim required; role "viewer" may only GET; expired tokens
+  * (exp claim, seconds) rejected. `jwtKey = None` disables auth (dev
+  * mode). Non-/api paths (/healthz) skip auth like the reference.
+  */
+object AdminHttp {
+
+  final case class Server(port: Int, underlying: HttpServer) {
+    def stop(): Unit = underlying.stop(0)
+  }
+
+  private val mapper: ObjectMapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .setSerializationInclusion(JsonInclude.Include.NON_ABSENT)
+
+  private final class HttpError(val status: Int, val code: String,
+                                val detail: String) extends RuntimeException(detail)
+  private def fail(status: Int, code: String, detail: String): Nothing =
+    throw new HttpError(status, code, detail)
+
+  // -- JWT (HS256 only; `handle_auth.go:10-28` rejects non-HMAC algs) -----
+
+  private[streaming] def validateJwt(token: String, key: Array[Byte],
+                                     nowSec: Long = System.currentTimeMillis() / 1000): Option[String] =
+    try {
+      val parts = token.split('.')
+      if (parts.length != 3) None
+      else {
+        def b64(s: String): Array[Byte] = java.util.Base64.getUrlDecoder.decode(s)
+        val mac = Mac.getInstance("HmacSHA256")
+        mac.init(new SecretKeySpec(key, "HmacSHA256"))
+        val sig = mac.doFinal(s"${parts(0)}.${parts(1)}".getBytes(UTF_8))
+        if (!java.security.MessageDigest.isEqual(sig, b64(parts(2)))) None
+        else if (mapper.readTree(b64(parts(0))).path("alg").asText() != "HS256") None
+        else {
+          val payload = mapper.readTree(b64(parts(1)))
+          if (payload.has("exp") && payload.get("exp").asLong() <= nowSec) None
+          else Option(payload.get("role")).map(_.asText()).filter(_.nonEmpty)
+        }
+      }
+    } catch { case _: IllegalArgumentException | _: java.io.IOException => None }
+
+  /** Mint an HS256 token (ops tooling + tests; the reference's
+    * refresh-token endpoint analog). */
+  def signJwt(key: Array[Byte], role: String, expSec: Long = 0L): String = {
+    def enc(b: Array[Byte]): String =
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    val header = enc("""{"alg":"HS256","typ":"JWT"}""".getBytes(UTF_8))
+    val exp = if (expSec > 0) s""","exp":$expSec""" else ""
+    val payload = enc(s"""{"role":"${role}"$exp}""".getBytes(UTF_8))
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    s"$header.$payload." + enc(mac.doFinal(s"$header.$payload".getBytes(UTF_8)))
+  }
+
+  // -- config-store edits (atomic read-modify-write of the map file) ------
+
+  private def readMap(mapPath: Path): MapConfig.DbMap =
+    MapConfig.load(mapPath.toString)
+
+  private def writeMap(mapPath: Path, m: MapConfig.DbMap): Unit = {
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
+    MapConfig.parse(json) // validate the round-trip before it becomes live
+    val tmp = mapPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, json)
+    Files.move(tmp, mapPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** @param spark       session used to create clone targets
+    * @param mapPath     the declarative map file (the config store)
+    * @param targetsRoot lake-table root for clone-created targets
+    * @param sourceSpec  source-table schema lookup for /clone (the catalog
+    *                    scan analog); None = unknown source -> 404
+    * @param jwtKey      HS256 key; None disables auth */
+  def start(spark: org.apache.spark.sql.SparkSession,
+            mapPath: Path,
+            targetsRoot: String,
+            sourceSpec: String => Option[TableSpec] = _ => None,
+            jwtKey: Option[Array[Byte]] = None,
+            port: Int = 0): Server = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/", (ex: HttpExchange) => handle(ex))
+    srv.start()
+
+    def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+      ex.sendResponseHeaders(status, b.length)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+    }
+
+    def authorize(ex: HttpExchange): Unit = jwtKey.foreach { key =>
+      val path = ex.getRequestURI.getPath
+      if (path.startsWith("/api")) {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse(fail(401, "not_allowed", "no authorization header"))
+        val role = validateJwt(auth.stripPrefix("Bearer "), key)
+          .getOrElse(fail(401, "not_allowed", "invalid authorization token"))
+        if (role == "viewer" && ex.getRequestMethod != "GET")
+          fail(403, "not_allowed", "viewer cannot modify configuration")
+        if (role != "viewer" && role != "admin")
+          fail(403, "not_allowed", s"unknown role: $role")
+      }
+    }
+
+    def body(ex: HttpExchange): JsonNode =
+      try mapper.readTree(ex.getRequestBody)
+      catch { case _: Exception => fail(400, "bad_json", "request body is not JSON") }
+
+    def handle(ex: HttpExchange): Unit = {
+      try {
+        authorize(ex)
+        val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+        val method = ex.getRequestMethod
+        (method, segs) match {
+          case ("GET", List("healthz")) => respond(ex, 200, """{"status":"ok"}""")
+
+          case ("GET", List("api", "map")) =>
+            respond(ex, 200, mapper.writeValueAsString(readMap(mapPath)))
+          case ("PUT", List("api", "map")) =>
+            val m = try MapConfig.parse(mapper.writeValueAsString(body(ex)))
+              catch { case e: Exception => fail(400, "bad_map", e.getMessage) }
+            m.databases.foreach(db => MapConfig.mappings(db)) // mode validation
+            writeMap(mapPath, m)
+            respond(ex, 200, """{"updated":"map"}""")
+
+          case ("GET", List("api", "db")) =>
+            respond(ex, 200, mapper.writeValueAsString(readMap(mapPath).databases.map(_.name)))
+          case ("POST", List("api", "db")) =>
+            val name = Option(body(ex).get("name")).map(_.asText())
+              .filter(_.nonEmpty).getOrElse(fail(400, "bad_db", "missing name"))
+            val m = readMap(mapPath)
+            if (m.databases.exists(_.name == name)) fail(409, "exists", name)
+            writeMap(mapPath, m.copy(databases = m.databases :+
+              MapConfig.SourceDatabase(name, Nil, Map.empty)))
+            respond(ex, 201, s"""{"created":"$name"}""")
+          case ("DELETE", List("api", "db", name)) =>
+            val m = readMap(mapPath)
+            if (!m.databases.exists(_.name == name)) fail(404, "not_found", name)
+            writeMap(mapPath, m.copy(databases = m.databases.filterNot(_.name == name)))
+            respond(ex, 200, s"""{"deleted":"$name"}""")
+
+          case ("POST", List("api", "db", name, "url")) =>
+            val j = body(ex)
+            val (url, sid) = (j.path("url").asText(""), j.path("sid").asText(""))
+            if (url.isEmpty || sid.isEmpty) fail(400, "bad_url", "need url and sid")
+            editDb(name) { db =>
+              if (db.urls.exists(_.sid == sid)) fail(409, "exists", sid)
+              db.copy(urls = db.urls :+ MapConfig.UrlEntry(url, sid))
+            }
+            respond(ex, 201, s"""{"created":"$sid"}""")
+          case ("DELETE", List("api", "db", name, "url", sid)) =>
+            editDb(name) { db =>
+              if (!db.urls.exists(_.sid == sid)) fail(404, "not_found", sid)
+              db.copy(urls = db.urls.filterNot(_.sid == sid))
+            }
+            respond(ex, 200, s"""{"deleted":"$sid"}""")
+
+          case ("GET", List("api", "db", name, "tbl")) =>
+            val db = readMap(mapPath).databases.find(_.name == name)
+              .getOrElse(fail(404, "not_found", name))
+            respond(ex, 200, mapper.writeValueAsString(db.tables))
+          case ("POST" | "PUT", List("api", "db", name, "tbl", src)) =>
+            val entry = parseTableEntry(body(ex))
+            editDb(name)(db => db.copy(tables = db.tables + (src -> entry)))
+            respond(ex, 201, s"""{"created":"$src"}""")
+          case ("DELETE", List("api", "db", name, "tbl", src)) =>
+            editDb(name) { db =>
+              if (!db.tables.contains(src)) fail(404, "not_found", src)
+              db.copy(tables = db.tables - src)
+            }
+            respond(ex, 200, s"""{"deleted":"$src"}""")
+
+          // handle_map.go:90-172 — create dest table from the source
+          // schema + add the map entry; idempotent on an existing target
+          case ("POST", List("api", "tbl", src, "clone")) =>
+            val q = queryParams(ex)
+            val dbName = q.getOrElse("db", fail(400, "bad_clone", "need db param"))
+            val mode = q.getOrElse("type", "clone")
+            try TableMode.parse(mode)
+            catch { case e: IllegalArgumentException => fail(400, "invalid_type", e.getMessage) }
+            val target = q.getOrElse("target", src)
+            val spec0 = sourceSpec(src).getOrElse(
+              fail(404, "unknown_source", s"no source schema for '$src'"))
+            val spec =
+              if (mode == "history")
+                spec0.copy(schema = graft.operators.History.historySchema(spec0.schema))
+              else spec0
+            val root = s"$targetsRoot/$target"
+            if (!LakeTable.exists(root))
+              LakeTable.create(spark, root, spec.copy(name = target))
+            val entry = MapConfig.TableEntry(Some(mode), Some(target),
+              None, None, q.get("partitions_regex"))
+            editDb(dbName)(db => db.copy(tables = db.tables + (src -> entry)))
+            respond(ex, 201, s"""{"cloned":"$src","target":"$target"}""")
+
+          // the restart channel analog: bump the map mtime so the watcher
+          // stops/rebuilds/resumes the streams (handle_url.go:242-245)
+          case ("POST", List("api", "restart")) =>
+            Files.setLastModifiedTime(mapPath,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+            respond(ex, 200, """{"restarted":true}""")
+
+          case _ => fail(404, "not_found", ex.getRequestURI.getPath)
+        }
+      } catch {
+        case e: HttpError =>
+          respond(ex, e.status, s"""{"error":"${e.code}","detail":"${e.detail.replace("\"", "'")}"}""")
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":"internal","detail":"${String.valueOf(e.getMessage).replace("\"", "'")}"}""")
+      }
+    }
+
+    def editDb(name: String)(f: MapConfig.SourceDatabase => MapConfig.SourceDatabase): Unit = {
+      val m = readMap(mapPath)
+      val db = m.databases.find(_.name == name)
+        .getOrElse(fail(404, "not_found", s"database '$name'"))
+      writeMap(mapPath, m.copy(databases =
+        m.databases.map(d => if (d.name == name) f(db) else d)))
+    }
+
+    Server(srv.getAddress.getPort, srv)
+  }
+
+  private def parseTableEntry(j: JsonNode): MapConfig.TableEntry = {
+    val mode = Option(j.get("type")).map(_.asText())
+    mode.foreach { m =>
+      try TableMode.parse(m)
+      catch { case e: IllegalArgumentException => fail(400, "invalid_type", e.getMessage) }
+    }
+    import scala.jdk.CollectionConverters._
+    MapConfig.TableEntry(
+      `type` = mode,
+      target = Option(j.get("target")).map(_.asText()),
+      filter = Option(j.get("filter")).map(_.asText()),
+      set = Option(j.get("set")).map(n =>
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap),
+      partitions_regex = Option(j.get("partitions_regex")).map(_.asText()))
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split('&').toSeq
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case Array(k) => Some(k -> "")
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+}

@@ -1,0 +1,194 @@
+package graft
+
+import graft.config.MapConfig
+import graft.lake.LakeTable
+import graft.model.Transcripts
+import graft.streaming.AdminHttp
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+/** Admin control plane: CRUD over the declarative map file (validated,
+  * atomic), table clone creating the target lake table, restart touch,
+  * and HS256 JWT auth with role enforcement. */
+class AdminHttpSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val client = HttpClient.newHttpClient()
+
+  private def req(port: Int, method: String, path: String, body: String = "",
+                  token: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def freshMap(tag: String): java.nio.file.Path = {
+    val dir = SparkTestBase.tmpDir(tag)
+    val p = Paths.get(s"$dir/map.json")
+    Files.writeString(p,
+      """{"databases":[{"name":"app",
+        |  "urls":[{"url":"wal/seg-*","sid":"s0"}],
+        |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin)
+    p
+  }
+
+  test("config CRUD: validated, atomic, reload-visible") {
+    val mapPath = freshMap("admin")
+    val srv = AdminHttp.start(spark, mapPath, s"${mapPath.getParent}/targets")
+    try {
+      val p = srv.port
+      assert(req(p, "GET", "/healthz").statusCode() == 200)
+      assert(req(p, "GET", "/api/map").body().contains("transcripts"))
+
+      // db CRUD
+      assert(req(p, "POST", "/api/db", """{"name":"aux"}""").statusCode() == 201)
+      assert(req(p, "POST", "/api/db", """{"name":"aux"}""").statusCode() == 409)
+      assert(MapConfig.load(mapPath.toString).databases.map(_.name) ==
+        Seq("app", "aux"))
+
+      // url CRUD
+      assert(req(p, "POST", "/api/db/aux/url",
+        """{"url":"wal2/seg-*","sid":"s9"}""").statusCode() == 201)
+      assert(req(p, "DELETE", "/api/db/aux/url/nope").statusCode() == 404)
+      assert(MapConfig.load(mapPath.toString).databases.find(_.name == "aux")
+        .get.urls.map(_.sid) == Seq("s9"))
+
+      // table CRUD with validation: bad type rejected, file unchanged
+      val before = Files.readString(mapPath)
+      assert(req(p, "POST", "/api/db/app/tbl/events",
+        """{"type":"bogus"}""").statusCode() == 400)
+      assert(Files.readString(mapPath) == before, "invalid write must not land")
+      assert(req(p, "POST", "/api/db/app/tbl/events",
+        """{"type":"append","target":"events_log","filter":"value > 1",
+          |"set":{"c":"upper(c)"},"partitions_regex":"events_p[0-9]"}""".stripMargin)
+        .statusCode() == 201)
+      val m = MapConfig.mappings(
+        MapConfig.load(mapPath.toString).databases.find(_.name == "app").get)
+      val ev = m.find(_.sourceTable == "events").get
+      assert(ev.target == "events_log" &&
+        ev.mode == graft.model.TableMode.Append &&
+        ev.filter.contains("value > 1") &&
+        ev.set.contains(Seq("c" -> "upper(c)")) &&
+        ev.partitionsRegex.contains("events_p[0-9]"))
+      assert(req(p, "DELETE", "/api/db/app/tbl/events").statusCode() == 200)
+
+      // restart touch bumps the mtime (the watcher's reload signal)
+      val mt0 = Files.getLastModifiedTime(mapPath).toMillis
+      Thread.sleep(5)
+      assert(req(p, "POST", "/api/restart").statusCode() == 200)
+      assert(Files.getLastModifiedTime(mapPath).toMillis >= mt0)
+    } finally srv.stop()
+  }
+
+  test("table clone: creates the target lake from the source schema + map entry") {
+    val mapPath = freshMap("adminclone")
+    val targets = s"${mapPath.getParent}/targets"
+    val srv = AdminHttp.start(spark, mapPath, targets,
+      sourceSpec = s => if (s == "transcripts_v2") Some(Transcripts.spec(numBuckets = 4)) else None)
+    try {
+      val p = srv.port
+      assert(req(p, "POST", "/api/tbl/unknown/clone?db=app").statusCode() == 404)
+      assert(req(p, "POST",
+        "/api/tbl/transcripts_v2/clone?db=app&type=bogus").statusCode() == 400)
+      val r = req(p, "POST",
+        "/api/tbl/transcripts_v2/clone?db=app&type=history&target=t2_hist&partitions_regex=t2_%5B0-9%5D")
+      assert(r.statusCode() == 201, r.body())
+      // target exists with the history validity columns
+      val lake = LakeTable.load(spark, s"$targets/t2_hist")
+      assert(lake.schema.fieldNames.contains("kvsz_start"))
+      // map entry added; clone is idempotent on the existing target
+      val e = MapConfig.load(mapPath.toString).databases.find(_.name == "app")
+        .get.tables("transcripts_v2")
+      assert(e.target.contains("t2_hist") && e.`type`.contains("history") &&
+        e.partitions_regex.contains("t2_[0-9]"))
+      assert(req(p, "POST",
+        "/api/tbl/transcripts_v2/clone?db=app&type=history&target=t2_hist")
+        .statusCode() == 201)
+    } finally srv.stop()
+  }
+
+  test("e2e: API clone over a LIVE continuous deployment routes + streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = SparkTestBase.tmpDir("adminlive")
+    val cfg = graft.gen.Gen.Config(numEvents = 1500, numConvs = 15, seed = 707,
+      sourceTables = Seq("t1", "t2"), evolveAtId = None)
+    graft.gen.Gen.writeLog(spark, cfg, s"$dir/wal", 1, filesPerSegment = 1)
+    val mapPath = Paths.get(s"$dir/map.json")
+    Files.writeString(mapPath,
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"t1":{"type":"clone","target":"t1"}}}]}""".stripMargin)
+    val specs = Map(
+      "t1" -> Transcripts.spec(name = "t1", numBuckets = 4),
+      "t2" -> Transcripts.spec(name = "t2", numBuckets = 4))
+    def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!cond) {
+        if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+        Thread.sleep(200)
+      }
+    }
+    val h = graft.streaming.Orchestrator.runContinuous(spark, mapPath.toString,
+      s"$dir/targets", specs, s"$dir/ckpt", pollMs = 100,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    val srv = AdminHttp.start(spark, mapPath, s"$dir/targets",
+      sourceSpec = s => specs.get(s))
+    try {
+      await("t1 converged")(LakeTable.exists(s"$dir/targets/t1") &&
+        LakeTable.load(spark, s"$dir/targets/t1").snapshot()
+          .properties.contains("commit-epoch-app-s0-t1"))
+      // operator clones t2 through the API; the live watcher picks up the
+      // map change and the new route streams
+      assert(req(srv.port, "POST", "/api/tbl/t2/clone?db=app").statusCode() == 201)
+      Seq(graft.model.ChangeEvent(999990L, 0, "I", "t2", "s0", "none",
+        Map.empty, Map("conv_id" -> "api-live", "turn_idx" -> "0",
+          "role" -> "user", "text" -> "routed")))
+        .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00001")
+      await("cloned t2 routed and streaming") {
+        LakeTable.exists(s"$dir/targets/t2") &&
+          LakeTable.load(spark, s"$dir/targets/t2").read()
+            .filter(col("conv_id") === "api-live").count() == 1
+      }
+    } finally { srv.stop(); h.stop() }
+  }
+
+  test("JWT auth: HS256 only, role enforcement, expiry") {
+    val mapPath = freshMap("adminjwt")
+    val key = "graft-test-secret".getBytes("UTF-8")
+    val srv = AdminHttp.start(spark, mapPath, s"${mapPath.getParent}/targets",
+      jwtKey = Some(key))
+    try {
+      val p = srv.port
+      val admin = AdminHttp.signJwt(key, "admin")
+      val viewer = AdminHttp.signJwt(key, "viewer")
+      assert(req(p, "GET", "/healthz").statusCode() == 200, "non-/api skips auth")
+      assert(req(p, "GET", "/api/map").statusCode() == 401, "no token")
+      assert(req(p, "GET", "/api/map", token = Some("garbage")).statusCode() == 401)
+      assert(req(p, "GET", "/api/map",
+        token = Some(AdminHttp.signJwt("wrong-key".getBytes, "admin")))
+        .statusCode() == 401, "bad signature")
+      // alg downgrade: unsigned token with alg=none must be rejected
+      def enc(s: String) = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(s.getBytes("UTF-8"))
+      val none = enc("""{"alg":"none","typ":"JWT"}""") + "." +
+        enc("""{"role":"admin"}""") + "."
+      assert(req(p, "GET", "/api/map", token = Some(none)).statusCode() == 401)
+      // expired token
+      val expired = AdminHttp.signJwt(key, "admin",
+        expSec = System.currentTimeMillis() / 1000 - 10)
+      assert(req(p, "GET", "/api/map", token = Some(expired)).statusCode() == 401)
+      // roles: viewer reads, cannot write; admin writes
+      assert(req(p, "GET", "/api/map", token = Some(viewer)).statusCode() == 200)
+      assert(req(p, "POST", "/api/db", """{"name":"x"}""",
+        token = Some(viewer)).statusCode() == 403)
+      assert(req(p, "POST", "/api/db", """{"name":"x"}""",
+        token = Some(admin)).statusCode() == 201)
+    } finally srv.stop()
+  }
+}
