@@ -30,12 +30,17 @@ import java.nio.file.{Files, Paths}
 object MapConfig {
 
   final case class UrlEntry(url: String, sid: String)
+  /** @param signatures true = maintain a companion near-dup signatures
+    *                   lake table per applied micro-batch (SignatureStore;
+    *                   clone/append modes only). The orchestrator places
+    *                   it at `<targetsRoot>/<target>_signatures`. */
   final case class TableEntry(
       `type`: Option[String],
       target: Option[String],
       filter: Option[String],
       set: Option[Map[String, String]],
-      partitions_regex: Option[String])
+      partitions_regex: Option[String],
+      signatures: Option[Boolean] = None)
   final case class SourceDatabase(name: String, urls: Seq[UrlEntry],
                                   tables: Map[String, TableEntry])
   final case class DbMap(databases: Seq[SourceDatabase])

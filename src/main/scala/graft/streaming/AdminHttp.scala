@@ -275,7 +275,8 @@ object AdminHttp {
       filter = Option(j.get("filter")).map(_.asText()),
       set = Option(j.get("set")).map(n =>
         n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap),
-      partitions_regex = Option(j.get("partitions_regex")).map(_.asText()))
+      partitions_regex = Option(j.get("partitions_regex")).map(_.asText()),
+      signatures = Option(j.get("signatures")).map(_.asBoolean()))
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =

@@ -75,7 +75,22 @@ object Orchestrator {
         val lake =
           if (existed) LakeTable.load(spark, root)
           else LakeTable.create(spark, root, spec)
-        (CdcStream.Route(m, lake), existed)
+        // map-file opt-in signature maintenance ("signatures": true):
+        // companion near-dup signature table kept per applied micro-batch
+        val sink = db.tables.get(m.sourceTable).flatMap(_.signatures)
+          .filter(identity).map { _ =>
+            require(m.mode != TableMode.History,
+              s"'signatures' is not supported for history table '${m.sourceTable}'")
+            require(spec.schema.fieldNames.contains("text"),
+              s"'signatures' requires a 'text' column on target '${m.target}'")
+            val sroot = s"$targetsRoot/${m.target}_signatures"
+            val slake =
+              if (LakeTable.exists(sroot)) LakeTable.load(spark, sroot)
+              else LakeTable.create(spark, sroot,
+                graft.operators.SignatureStore.spec(s"${m.target}_signatures"))
+            CdcStream.SignatureSink(slake)
+          }
+        (CdcStream.Route(m, lake, signatures = sink), existed)
       }
       val routes0 = routesInfo.map(_._1)
       db.urls.map { u =>

@@ -85,6 +85,32 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(s2.keySet == live)
   }
 
+  test("map-file opt-in: \"signatures\": true maintains a companion table") {
+    import java.nio.file.{Files, Paths}
+    val dir = SparkTestBase.tmpDir("sigmap")
+    val t = (0 until 20).map(i => s"word$i").mkString(" ")
+    Seq(iEv(1, 1, t), iEv(2, 2, t + " tail")).toDS().toDF()
+      .coalesce(1).write.parquet(s"$dir/wal/seg-00000")
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"docs":{"type":"clone","target":"docs","signatures":true}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map.json",
+      s"$dir/targets", Map("docs" -> docSpec), s"$dir/ckpt")
+    val sig = LakeTable.load(spark, s"$dir/targets/docs_signatures")
+    assert(sigRows(sig).keySet == Set("1", "2"),
+      "the companion signatures table must track the streamed docs")
+    // history mode + signatures is rejected loudly at start
+    val badJson = mapJson.replace("\"clone\"", "\"history\"")
+    Files.writeString(Paths.get(s"$dir/map2.json"), badJson)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map2.json",
+        s"$dir/targets2", Map("docs" -> docSpec), s"$dir/ckpt2")
+    }
+    assert(ex.getMessage.contains("history"))
+  }
+
   test("streamed ingest + incremental dedup == whole-corpus LSH on (corpus, delta)") {
     val dir = SparkTestBase.tmpDir("sigstream")
     val base = (0 until 100).map(i => s"tok$i").mkString(" ")
