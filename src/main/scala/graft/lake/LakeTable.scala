@@ -86,10 +86,9 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
 
   private def listVersions: Seq[Long] =
     if (!Files.isDirectory(metaDir)) Nil
-    else Files.list(metaDir).iterator.asScala
-      .map(_.getFileName.toString)
+    else LakeTable.listDir(metaDir)(_.map(_.getFileName.toString)
       .collect { case VersionFile(v) => v.toLong }
-      .toSeq.sorted
+      .toSeq).sorted
 
   def snapshot(version: Long = -1L): Snapshot = {
     val v = if (version < 0) currentVersion else version
@@ -185,12 +184,12 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         .collect { case f if LakeTable.statComparable(f.dataType) =>
           f.name -> f.dataType }.toMap
     val moved = scala.collection.mutable.ArrayBuffer[(Path, Int)]()
-    Files.list(tmp).iterator.asScala
-      .filter(p => p.getFileName.toString.startsWith("__bucket="))
+    LakeTable.listDir(tmp)(_.filter(
+      p => p.getFileName.toString.startsWith("__bucket=")).toSeq)
       .foreach { bdir =>
         val bucket = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
-        Files.list(bdir).iterator.asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
+        LakeTable.listDir(bdir)(_.filter(
+          _.getFileName.toString.endsWith(".parquet")).toSeq)
           .foreach { f =>
             val dest = dataDir.resolve(s"b$bucket-${UUID.randomUUID()}.parquet")
             Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
@@ -331,10 +330,10 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val referenced: Set[String] =
       keep.flatMap(v => snapshot(v).files.map(f =>
         Paths.get(f.path).getFileName.toString)).toSet
-    val deleted = Files.list(dataDir).iterator.asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .filterNot(p => referenced.contains(p.getFileName.toString))
-      .toSeq
+    val deleted = LakeTable.listDir(dataDir)(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => referenced.contains(p.getFileName.toString))
+        .toSeq)
     deleted.foreach(Files.deleteIfExists(_))
     expire.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%020d.json")))
     (expire.size, deleted.size)
@@ -439,13 +438,22 @@ object LakeTable {
 
   def exists(root: String): Boolean = {
     val meta = Paths.get(root, "_meta")
-    Files.isDirectory(meta) && Files.list(meta).iterator.asScala.exists(
-      p => VersionFile.pattern.matcher(p.getFileName.toString).matches())
+    Files.isDirectory(meta) && listDir(meta)(_.exists(
+      p => VersionFile.pattern.matcher(p.getFileName.toString).matches()))
+  }
+
+  /** `Files.list` with the underlying directory stream CLOSED — the bare
+    * `Files.list(p).iterator` idiom leaks one directory FD per call, which
+    * exhausts the driver's fd table on a long-running deployment (surfaced
+    * as "Too many open files" after ~10^4 commits in one JVM). */
+  private[graft] def listDir[T](p: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(p)
+    try f(s.iterator.asScala) finally s.close()
   }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+      listDir(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

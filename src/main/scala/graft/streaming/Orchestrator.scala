@@ -200,9 +200,8 @@ object Orchestrator {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+      graft.lake.LakeTable.listDir(p)(_.toSeq).foreach(deleteRecursively)
     java.nio.file.Files.deleteIfExists(p)
   }
 
