@@ -116,17 +116,20 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
 
   /** The files a (buckets, zones)-constrained scan must read: bucket
     * pruning first, then zone-map pruning — a file survives unless some
-    * zone's [lo, hi] provably misses its recorded [min, max]. */
+    * zone's [lo, hi] provably misses its recorded [min, max].
+    * `zoneExemptBuckets` skip the zone filter entirely (the merge uses
+    * this to force a full rewrite of over-fragmented buckets). */
   private[graft] def selectFiles(version: Long = -1L,
                                  buckets: Option[Set[Int]] = None,
-                                 zones: Seq[Zone] = Nil): Seq[DataFile] = {
+                                 zones: Seq[Zone] = Nil,
+                                 zoneExemptBuckets: Set[Int] = Set.empty): Seq[DataFile] = {
     val s = snapshot(version)
     val want = buckets.getOrElse(null)
     val schema = s.schema
     s.files
       .filter(f => want == null || want.contains(f.bucket))
       .filter { f =>
-        zones.forall { z =>
+        zoneExemptBuckets.contains(f.bucket) || zones.forall { z =>
           (f.statsOrEmpty.get(z.col), schema.fields.find(_.name == z.col)) match {
             case (Some(st), Some(fld)) =>
               val cmp = statCompare(fld.dataType) _
@@ -147,9 +150,10 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     * filter on the returned frame (pruning is an I/O optimization, not a
     * predicate). */
   def read(version: Long = -1L, buckets: Option[Set[Int]] = None,
-           zones: Seq[Zone] = Nil): DataFrame = {
+           zones: Seq[Zone] = Nil,
+           zoneExemptBuckets: Set[Int] = Set.empty): DataFrame = {
     val s = snapshot(version)
-    val files = selectFiles(version, buckets, zones)
+    val files = selectFiles(version, buckets, zones, zoneExemptBuckets)
     val cur = s.schema
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur)
@@ -307,6 +311,25 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     next
   }
 
+  /** Maintenance compaction: rewrite every bucket holding more than
+    * `maxFilesPerBucket` files into freshly-clustered files (one commit).
+    * The merge already self-compacts touched buckets past the same kind of
+    * cap; this entry point handles buckets that stopped being written but
+    * stayed fragmented. Single-writer protocol applies (class doc).
+    * @return number of buckets compacted */
+  def compact(maxFilesPerBucket: Int = 8): Int = {
+    val snap = snapshot()
+    val over = snap.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
+    if (over.isEmpty) return 0
+    val buckets = over.keySet
+    val df = read(buckets = Some(buckets))
+      .withColumn("__bucket",
+        pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
+    val newFiles = writeDataFiles(df, snap.currentSchemaId)
+    commit(newFiles, over.values.flatten.map(_.path).toSet)
+    buckets.size
+  }
+
   /** Expire old snapshots and reclaim their data files — at 10^10-event
     * scale the copy-on-write merge otherwise accumulates every rewritten
     * bucket file forever. Keeps the newest `retainVersions` manifests;
@@ -316,12 +339,42 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     * retained window keeps working. Caller must not run this concurrently
     * with a writer on the same table (single-writer protocol, class doc).
     *
+    * Lineage is COMPACTED with the same retention: entries whose snapshot
+    * version expired collapse into one summary entry per sid (batchId -1,
+    * snapshotVersion -1, min/max LSN preserved) — at 10^10-event scale the
+    * per-batch lineage would otherwise grow the manifest without bound,
+    * while everything downstream (the per-sid applied watermark the
+    * anomaly healing resumes from; time travel, which only reaches
+    * retained snapshots anyway) needs exactly the summary.
+    *
     * @return (expired manifest count, deleted data file count) */
   def vacuum(retainVersions: Int = 1): (Int, Int) = {
     val keepN = math.max(1, retainVersions)
     val versions = listVersions
-    val keep = versions.takeRight(keepN)
+    var keep = versions.takeRight(keepN)
     val expire = versions.dropRight(keepN)
+    // lineage compaction rides a new manifest that JOINS the retained set
+    // (the window is computed once — re-deriving it after the write would
+    // cascade, re-expiring entries the caller asked to retain)
+    locally {
+      val cur = snapshot()
+      val minKept = keep.headOption.getOrElse(Long.MaxValue)
+      // snapshotVersion -1 marks an existing summary; expiring entries
+      // fold INTO the per-sid summary (one summary row per sid, ever)
+      val (prevSummaries, live) = cur.lineage.partition(_.snapshotVersion < 0)
+      val (old, recent) = live.partition(_.snapshotVersion < minKept)
+      if (old.nonEmpty) {
+        val summaries = (prevSummaries ++ old).groupBy(_.sid).toSeq.sortBy(_._1)
+          .map { case (sid, es) =>
+            LineageEntry(sid, es.map(_.minLsn).min, es.map(_.maxLsn).max,
+              batchId = -1L, snapshotVersion = -1L)
+          }
+        writeManifest(cur.copy(version = cur.version + 1,
+          lineage = summaries ++ recent,
+          timestampMs = System.currentTimeMillis()))
+        keep :+= cur.version + 1
+      }
+    }
     // Liveness by FILE NAME, not path spelling: all data files live flat in
     // <root>/data and carry a UUID, so the name is unique — while the same
     // root reloaded under a different spelling (relative path, './'

@@ -445,7 +445,20 @@ object Replay {
         }
       }
 
-    val target = lake.read(buckets = Some(touched), zones = zones)
+    // Fragmentation cap (the zone-pruning trade-off closed): files a zone
+    // skips are NOT rewritten, so a bucket hit by many narrow-key batches
+    // accumulates small files. Once a touched bucket exceeds the cap, its
+    // zone pruning is disabled for this merge, so the whole bucket
+    // rewrites into O(1) files — inline compaction with write
+    // amplification bounded by the cap. (GRAFT_COMPACT_FILE_CAP, def. 8.)
+    val fileCap = sys.env.getOrElse("GRAFT_COMPACT_FILE_CAP", "8").toInt
+    val perBucket = snap.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+    val fragmented: Set[Int] =
+      if (zones.isEmpty) Set.empty
+      else touched.filter(b => perBucket.getOrElse(b, 0) > fileCap)
+
+    val target = lake.read(buckets = Some(touched), zones = zones,
+      zoneExemptBuckets = fragmented)
     val t = target.alias("t")
     val x = xdf.alias("x")
     val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c"))
@@ -502,8 +515,8 @@ object Replay {
     val newFiles = timed("merge+write")(lake.writeDataFiles(withBucket, snap.currentSchemaId))
     // remove EXACTLY the files the target read scanned: a zone-pruned file
     // was neither read nor rewritten, so it must stay live in the snapshot
-    val removed = lake.selectFiles(buckets = Some(touched), zones = zones)
-      .map(_.path).toSet
+    val removed = lake.selectFiles(buckets = Some(touched), zones = zones,
+      zoneExemptBuckets = fragmented).map(_.path).toSet
     // the write job ran -> observed merge-outcome counters are available
     val m = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     // per-batch metrics sidecar, BEFORE the commit: a crash between the

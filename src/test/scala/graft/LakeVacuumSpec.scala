@@ -89,6 +89,37 @@ class LakeVacuumSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("value") == 5L)
   }
 
+  test("vacuum compacts expired lineage to one summary per sid") {
+    val dir = SparkTestBase.tmpDir("vaclin")
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 2))
+    val mapping = TableMapping("transcripts", "transcripts")
+    val cfg = Gen.Config(numEvents = 1200, numConvs = 12, seed = 9, numSids = 2)
+    val all = Gen.events(spark, cfg)
+    import spark.implicits._
+    (0 until 3).foreach { b =>
+      Replay.applyBatch(lake,
+        all.filter(e => e.lsn > b * 100 && e.lsn <= (b + 1) * 100), mapping, b)
+    }
+    val before = lake.snapshot().lineage
+    val maxPerSid = before.groupBy(_.sid).view.mapValues(_.map(_.maxLsn).max).toMap
+    assert(before.size >= 3)
+
+    lake.vacuum(retainVersions = 1)
+    val after = lake.snapshot().lineage
+    val (summaries, live) = after.partition(_.snapshotVersion < 0)
+    assert(summaries.size == summaries.map(_.sid).distinct.size,
+      s"one summary per sid, got $summaries")
+    // the per-sid applied watermark (what anomaly healing resumes from)
+    // survives compaction exactly
+    val maxAfter = after.groupBy(_.sid).view.mapValues(_.map(_.maxLsn).max).toMap
+    assert(maxAfter == maxPerSid, s"$maxPerSid -> $maxAfter")
+    // a second vacuum folds nothing new and keeps one summary per sid
+    lake.vacuum(retainVersions = 1)
+    val again = lake.snapshot().lineage.filter(_.snapshotVersion < 0)
+    assert(again.map(_.sid).distinct.size == again.size)
+    assert(live.forall(_.snapshotVersion >= 0))
+  }
+
   test("lake bookkeeping does not leak file descriptors (long-running driver)") {
     import spark.implicits._
     // the bare Files.list(p).iterator idiom leaks one directory FD per

@@ -154,6 +154,30 @@ class LakeZoneSpec extends AnyFunSuite {
       col("turn_idx") === 0).head().getAs[String]("text") == "updated")
   }
 
+  test("fragmentation cap: narrow-batch merges self-compact past the file cap") {
+    import graft.model.{ChangeEvent, TableMapping}
+    val dir = SparkTestBase.tmpDir("zonefrag")
+    val lake = LakeTable.create(spark, dir, Transcripts.spec(numBuckets = 1))
+    val mapping = TableMapping("transcripts", "transcripts")
+    // 15 batches, each inserting ONE far-apart key: zone pruning leaves
+    // every earlier file un-rewritten, so without the cap the single
+    // bucket would accumulate ~15 files
+    (0 until 15).foreach { b =>
+      val ev = Seq(ChangeEvent(b + 1L, 0, "I", "transcripts", "s0", "none",
+        Map.empty, Map("conv_id" -> f"k$b%04d", "turn_idx" -> "0",
+          "role" -> "user", "text" -> s"v$b")))
+      graft.operators.Replay.applyBatch(lake, ev.toDS(), mapping, b)
+      val n = lake.snapshot().files.size
+      assert(n <= 10, s"bucket file count must stay capped, got $n at batch $b")
+    }
+    assert(lake.read().count() == 15, "compaction must not lose rows")
+    // and the standalone maintenance pass compacts the rest of the way
+    assert(lake.compact(maxFilesPerBucket = 1) == 1)
+    assert(lake.snapshot().files.size <= 2)
+    assert(lake.read().count() == 15)
+    assert(lake.compact(maxFilesPerBucket = 8) == 0, "already compact")
+  }
+
   test("zone maps survive the CDC merge path (cdc_* compatibility)") {
     import graft.gen.Gen
     import graft.model.TableMapping
