@@ -234,6 +234,28 @@ object AdminHttp {
             editDb(dbName)(db => db.copy(tables = db.tables + (src -> entry)))
             respond(ex, 201, s"""{"cloned":"$src","target":"$target"}""")
 
+          // lake maintenance, serialized on the per-table commit lock so
+          // they are safe to invoke while the table's stream is live
+          case ("POST", List("api", "table", target, "vacuum")) =>
+            val root = s"$targetsRoot/$target"
+            if (!LakeTable.exists(root)) fail(404, "not_found", target)
+            val retain = queryParams(ex).get("retain").map(_.toInt).getOrElse(2)
+            val (manifests, files) = CdcStream.lockFor(root).synchronized {
+              LakeTable.load(spark, root).vacuum(retainVersions = retain)
+            }
+            respond(ex, 200,
+              s"""{"vacuumed":"$target","expired_manifests":$manifests,"deleted_files":$files}""")
+          case ("POST", List("api", "table", target, "compact")) =>
+            val root = s"$targetsRoot/$target"
+            if (!LakeTable.exists(root)) fail(404, "not_found", target)
+            val cap = queryParams(ex).get("max_files_per_bucket")
+              .map(_.toInt).getOrElse(8)
+            val buckets = CdcStream.lockFor(root).synchronized {
+              LakeTable.load(spark, root).compact(maxFilesPerBucket = cap)
+            }
+            respond(ex, 200,
+              s"""{"compacted":"$target","buckets":$buckets}""")
+
           // the restart channel analog: bump the map mtime so the watcher
           // stops/rebuilds/resumes the streams (handle_url.go:242-245)
           case ("POST", List("api", "restart")) =>

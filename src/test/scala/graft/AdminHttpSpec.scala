@@ -158,6 +158,33 @@ class AdminHttpSpec extends AnyFunSuite {
     } finally { srv.stop(); h.stop() }
   }
 
+  test("maintenance endpoints: vacuum + compact under the table lock") {
+    import spark.implicits._
+    val mapPath = freshMap("adminmaint")
+    val targets = s"${mapPath.getParent}/targets"
+    val lake = LakeTable.create(spark, s"$targets/transcripts",
+      Transcripts.spec(numBuckets = 1))
+    (0 until 4).foreach { i =>
+      val df = Seq((f"c$i%04d", 0, "user", s"t$i", null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .withColumn("__bucket", org.apache.spark.sql.functions.lit(0))
+      lake.commit(lake.writeDataFiles(df.coalesce(1),
+        lake.snapshot().currentSchemaId), Set.empty)
+    }
+    val srv = AdminHttp.start(spark, mapPath, targets)
+    try {
+      val p = srv.port
+      assert(req(p, "POST", "/api/table/nope/vacuum").statusCode() == 404)
+      val rc = req(p, "POST", "/api/table/transcripts/compact?max_files_per_bucket=1")
+      assert(rc.statusCode() == 200 && rc.body().contains("\"buckets\":1"), rc.body())
+      val rv = req(p, "POST", "/api/table/transcripts/vacuum?retain=1")
+      assert(rv.statusCode() == 200, rv.body())
+      assert(lake.read().count() == 4, "maintenance must not lose rows")
+      assert(lake.snapshot().files.size == 1)
+    } finally srv.stop()
+  }
+
   test("JWT auth: HS256 only, role enforcement, expiry") {
     val mapPath = freshMap("adminjwt")
     val key = "graft-test-secret".getBytes("UTF-8")
