@@ -93,6 +93,12 @@ object AdminHttp {
 
   // -- config-store edits (atomic read-modify-write of the map file) ------
 
+  // one writer at a time per process: two concurrent API mutations would
+  // otherwise read-modify-write the same base and silently drop one edit
+  // (the reference serializes through SQLite; the JDK httpserver dispatches
+  // requests on a thread pool)
+  private val editLock = new Object
+
   private def readMap(mapPath: Path): MapConfig.DbMap =
     MapConfig.load(mapPath.toString)
 
@@ -161,7 +167,7 @@ object AdminHttp {
             val m = try MapConfig.parse(mapper.writeValueAsString(body(ex)))
               catch { case e: Exception => fail(400, "bad_map", e.getMessage) }
             m.databases.foreach(db => MapConfig.mappings(db)) // mode validation
-            writeMap(mapPath, m)
+            editLock.synchronized { writeMap(mapPath, m) }
             respond(ex, 200, """{"updated":"map"}""")
 
           case ("GET", List("api", "db")) =>
@@ -169,15 +175,19 @@ object AdminHttp {
           case ("POST", List("api", "db")) =>
             val name = Option(body(ex).get("name")).map(_.asText())
               .filter(_.nonEmpty).getOrElse(fail(400, "bad_db", "missing name"))
-            val m = readMap(mapPath)
-            if (m.databases.exists(_.name == name)) fail(409, "exists", name)
-            writeMap(mapPath, m.copy(databases = m.databases :+
-              MapConfig.SourceDatabase(name, Nil, Map.empty)))
+            editLock.synchronized {
+              val m = readMap(mapPath)
+              if (m.databases.exists(_.name == name)) fail(409, "exists", name)
+              writeMap(mapPath, m.copy(databases = m.databases :+
+                MapConfig.SourceDatabase(name, Nil, Map.empty)))
+            }
             respond(ex, 201, s"""{"created":"$name"}""")
           case ("DELETE", List("api", "db", name)) =>
-            val m = readMap(mapPath)
-            if (!m.databases.exists(_.name == name)) fail(404, "not_found", name)
-            writeMap(mapPath, m.copy(databases = m.databases.filterNot(_.name == name)))
+            editLock.synchronized {
+              val m = readMap(mapPath)
+              if (!m.databases.exists(_.name == name)) fail(404, "not_found", name)
+              writeMap(mapPath, m.copy(databases = m.databases.filterNot(_.name == name)))
+            }
             respond(ex, 200, s"""{"deleted":"$name"}""")
 
           case ("POST", List("api", "db", name, "url")) =>
@@ -273,13 +283,14 @@ object AdminHttp {
       }
     }
 
-    def editDb(name: String)(f: MapConfig.SourceDatabase => MapConfig.SourceDatabase): Unit = {
-      val m = readMap(mapPath)
-      val db = m.databases.find(_.name == name)
-        .getOrElse(fail(404, "not_found", s"database '$name'"))
-      writeMap(mapPath, m.copy(databases =
-        m.databases.map(d => if (d.name == name) f(db) else d)))
-    }
+    def editDb(name: String)(f: MapConfig.SourceDatabase => MapConfig.SourceDatabase): Unit =
+      editLock.synchronized {
+        val m = readMap(mapPath)
+        val db = m.databases.find(_.name == name)
+          .getOrElse(fail(404, "not_found", s"database '$name'"))
+        writeMap(mapPath, m.copy(databases =
+          m.databases.map(d => if (d.name == name) f(db) else d)))
+      }
 
     Server(srv.getAddress.getPort, srv)
   }
