@@ -71,6 +71,31 @@ object SignatureStore {
     else withMh.withColumn("fp", lit(null).cast("long"))
   }
 
+  /** Backfill the signature table from the DOC TABLE's current state — the
+    * full-sync analog for signatures: covers (a) `"signatures": true`
+    * turned on after the target already holds data, and (b) a vanished /
+    * recreated signatures table under a live checkpoint (whose epoch skip
+    * would otherwise leave the gap permanent). One corpus text scan;
+    * records `signatures-bootstrap = <doc snapshot version>` so it runs
+    * once. Caller holds the signature table's lock. */
+  def bootstrap(sig: LakeTable, docLake: LakeTable,
+                textCol: String = "text", force: Boolean = false): Boolean = {
+    val ssnap = sig.snapshot()
+    if (!force && ssnap.properties.contains("signatures-bootstrap")) return false
+    val dsnap = docLake.snapshot()
+    val mergeKey = (if (dsnap.hasSid) Seq("sid") else Nil) ++ dsnap.keyCols
+    val docs = docLake.read().select(
+      concat_ws(DocIdSep, mergeKey.map(c => col(c).cast("string")): _*)
+        .as("doc_id"),
+      col(textCol).as("text"))
+    val rows = signaturesOf(docs).withColumn("__bucket",
+      pmod(xxhash64(col("doc_id")), lit(ssnap.numBuckets)))
+    sig.commit(sig.writeDataFiles(rows, ssnap.currentSchemaId),
+      ssnap.files.map(_.path).toSet,
+      properties = Map("signatures-bootstrap" -> dsnap.version.toString))
+    true
+  }
+
   /** Apply one micro-batch of change events for `mapping` to the signature
     * table. `docLake` supplies the doc table's merge key and env schema so
     * routing/filter/set and the per-key fold mirror the main route

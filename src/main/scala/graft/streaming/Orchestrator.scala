@@ -131,10 +131,23 @@ object Orchestrator {
         routes0.foreach { r =>
           CdcStream.lockFor(r.lake.root).synchronized {
             val prop = s"full-sync-${u.sid}"
+            var didSync = false
             if (!r.lake.snapshot().properties.contains(prop))
               backfill(r.mapping.sourceTable, u.sid).foreach { src =>
                 Backfill.initialSync(r.lake, src, sid = Some(u.sid), propKey = prop)
+                didSync = true
               }
+            // signatures full-sync analog: covers (a) "signatures": true
+            // enabled after the target already holds rows, (b) a vanished/
+            // recreated signatures table, (c) backfilled rows (which do
+            // not flow through the streaming apply). `force` after a real
+            // sync re-signs so the fresh backfill is covered.
+            r.signatures.foreach { s =>
+              CdcStream.lockFor(s.lake.root).synchronized {
+                graft.operators.SignatureStore.bootstrap(s.lake, r.lake,
+                  s.textCol, force = didSync)
+              }
+            }
           }
         }
         // Epoch key per (stream, MAPPING), not per stream: two map entries

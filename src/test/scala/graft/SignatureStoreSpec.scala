@@ -111,6 +111,35 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("history"))
   }
 
+  test("bootstrap: late opt-in and backfill rows get signed (full-sync analog)") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("sigboot")
+    val t = (0 until 20).map(i => s"pre$i").mkString(" ")
+    // the doc table EXISTS WITH DATA before signatures are ever enabled
+    val docs = LakeTable.create(spark, s"$dir/targets/docs", docSpec)
+    graft.operators.Replay.applyBatch(docs,
+      Seq(iEv(1, 1, t)).toDS(), mapping, 0)
+    // backfill provides additional pre-stream rows (never in the WAL)
+    val backfill = (table: String, _: String) =>
+      if (table == "docs") Some(Seq((99L, "backfilled content here", "m"))
+        .toDF("doc_id", "text", "meta"))
+      else None
+    Seq(iEv(10, 2, t + " two")).toDS().toDF()
+      .coalesce(1).write.parquet(s"$dir/wal/seg-00000")
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"docs":{"type":"clone","target":"docs","signatures":true}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map.json",
+      s"$dir/targets", Map("docs" -> docSpec), s"$dir/ckpt", backfill)
+    val sig = LakeTable.load(spark, s"$dir/targets/docs_signatures")
+    assert(sigRows(sig).keySet == Set("1", "2", "99"),
+      "signatures must cover pre-existing rows (1), backfill (99) AND the " +
+        s"streamed batch (2): ${sigRows(sig).keySet}")
+  }
+
   test("streamed ingest + incremental dedup == whole-corpus LSH on (corpus, delta)") {
     val dir = SparkTestBase.tmpDir("sigstream")
     val base = (0 until 100).map(i => s"tok$i").mkString(" ")
