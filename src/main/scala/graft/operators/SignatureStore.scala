@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.lake.LakeTable
 import graft.model.{ChangeEvent, TableMapping, TableMode, TableSpec}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,10 +35,20 @@ object SignatureStore {
 
   val K: Int = TextPipeline.MinhashK
 
-  /** doc_id = the doc table's merge key rendered to one string (multi-part
-    * keys joined by  — a code point Postgres text values cannot
-    * contain). */
-  val DocIdSep = ""
+  /** doc_id = the doc table's merge key rendered to ONE string. A
+    * single-column key passes through verbatim; a multi-part key uses a
+    * length-prefixed encoding -- "len:value" per part, "n" for NULL --
+    * which is uniquely decodable for ANY content (Postgres text can carry
+    * every code point except U+0000, so NO separator join is
+    * collision-free: ("a<sep>b","c") and ("a","b<sep>c") would collide
+    * for whatever <sep> we picked). */
+  def docIdCol(parts: Seq[Column]): Column =
+    if (parts.size == 1) parts.head.cast("string")
+    else concat(parts.map { p0 =>
+      val str = p0.cast("string")
+      when(str.isNull, lit("n"))
+        .otherwise(concat(length(str).cast("string"), lit(":"), str))
+    }: _*)
 
   def schema: StructType = StructType(
     StructField("doc_id", StringType, nullable = false) +:
@@ -85,8 +95,7 @@ object SignatureStore {
     val dsnap = docLake.snapshot()
     val mergeKey = (if (dsnap.hasSid) Seq("sid") else Nil) ++ dsnap.keyCols
     val docs = docLake.read().select(
-      concat_ws(DocIdSep, mergeKey.map(c => col(c).cast("string")): _*)
-        .as("doc_id"),
+      docIdCol(mergeKey.map(col)).as("doc_id"),
       col(textCol).as("text"))
     val rows = signaturesOf(docs).withColumn("__bucket",
       pmod(xxhash64(col("doc_id")), lit(ssnap.numBuckets)))
@@ -127,8 +136,8 @@ object SignatureStore {
       return true
     }
     val f = folded.select(
-      concat_ws(DocIdSep, (0 until mergeKey.length).map(i =>
-        element_at(col("key"), i + 1)): _*).as("doc_id"),
+      docIdCol((0 until mergeKey.length).map(i =>
+        element_at(col("key"), i + 1))).as("doc_id"),
       col("absentExists"), col("presentKind"),
       map_contains_key(col("onAbsent"), textCol).as("a_has"),
       element_at(col("onAbsent"), textCol).as("a_txt"),
@@ -143,7 +152,7 @@ object SignatureStore {
       val target = sig.read(buckets = Some(touched))
 
       val j = target.alias("t").join(f.alias("x"),
-        col("t.doc_id") === col("x.doc_id"), "full_outer")
+        col("t.doc_id") <=> col("x.doc_id"), "full_outer")
       val fNull = col("x.presentKind").isNull
       val sigExists = col("t.doc_id").isNotNull
       val toAbsent = col("x.presentKind") === lit(Xf.TO_ABSENT)

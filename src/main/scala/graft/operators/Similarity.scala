@@ -127,6 +127,11 @@ ORDER BY query_id, rnk"""
   // stderr warning. GRAFT_OCCUPANCY=0 opts OUT (A/B runs only).
   private val occupancyRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Occupancy]()
+  // one live cached banded frame per operator: repeated steady-state calls
+  // (e.g. incremental dedup once per ingested batch) would otherwise
+  // accumulate persisted frames in the block manager without bound
+  private val persistedByOp =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Latest occupancy stats per bucketed operator (telemetry sink). */
   def lastOccupancy(op: String): Option[Occupancy] =
@@ -148,6 +153,7 @@ ORDER BY query_id, rnk"""
                                     bucketCols: Seq[String]): DataFrame = {
     if (occupancyOff) return banded
     val b = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(persistedByOp.put(op, b)).foreach(_.unpersist(blocking = false))
     val o = occupancy(b, bucketCols)
     occupancyRegistry.put(op, o)
     System.err.println(s"[occupancy] op=$op buckets=${o.buckets} " +

@@ -135,9 +135,11 @@ object AdminHttp {
       try os.write(b) finally os.close()
     }
 
-    def authorize(ex: HttpExchange): Unit = jwtKey.foreach { key =>
-      val path = ex.getRequestURI.getPath
-      if (path.startsWith("/api")) {
+    // auth gates on the SAME normalized segments the router matches on —
+    // gating on the raw path string would let "//api/db" (empty segment
+    // collapsed by the router, not by startsWith) bypass the check
+    def authorize(ex: HttpExchange, segs: List[String]): Unit = jwtKey.foreach { key =>
+      if (segs.headOption.contains("api")) {
         val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
           .getOrElse(fail(401, "not_allowed", "no authorization header"))
         val role = validateJwt(auth.stripPrefix("Bearer "), key)
@@ -155,8 +157,8 @@ object AdminHttp {
 
     def handle(ex: HttpExchange): Unit = {
       try {
-        authorize(ex)
         val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+        authorize(ex, segs)
         val method = ex.getRequestMethod
         (method, segs) match {
           case ("GET", List("healthz")) => respond(ex, 200, """{"status":"ok"}""")
@@ -226,6 +228,10 @@ object AdminHttp {
           case ("POST", List("api", "tbl", src, "clone")) =>
             val q = queryParams(ex)
             val dbName = q.getOrElse("db", fail(400, "bad_clone", "need db param"))
+            // validate EVERYTHING (db, mode, source schema) before the
+            // side effect, or a 404 would leave an orphan target dir
+            if (!readMap(mapPath).databases.exists(_.name == dbName))
+              fail(404, "not_found", s"database '$dbName'")
             val mode = q.getOrElse("type", "clone")
             try TableMode.parse(mode)
             catch { case e: IllegalArgumentException => fail(400, "invalid_type", e.getMessage) }
@@ -239,9 +245,16 @@ object AdminHttp {
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root))
               LakeTable.create(spark, root, spec.copy(name = target))
-            val entry = MapConfig.TableEntry(Some(mode), Some(target),
-              None, None, q.get("partitions_regex"))
-            editDb(dbName)(db => db.copy(tables = db.tables + (src -> entry)))
+            // MERGE into an existing entry: re-cloning must not wipe the
+            // configured filter/set/signatures
+            editDb(dbName) { db =>
+              val prev = db.tables.get(src)
+              val entry = MapConfig.TableEntry(Some(mode), Some(target),
+                prev.flatMap(_.filter), prev.flatMap(_.set),
+                q.get("partitions_regex").orElse(prev.flatMap(_.partitions_regex)),
+                prev.flatMap(_.signatures))
+              db.copy(tables = db.tables + (src -> entry))
+            }
             respond(ex, 201, s"""{"cloned":"$src","target":"$target"}""")
 
           // lake maintenance, serialized on the per-table commit lock so
@@ -249,7 +262,7 @@ object AdminHttp {
           case ("POST", List("api", "table", target, "vacuum")) =>
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
-            val retain = queryParams(ex).get("retain").map(_.toInt).getOrElse(2)
+            val retain = intParam(ex, "retain", default = 2, min = 1)
             val (manifests, files) = CdcStream.lockFor(root).synchronized {
               LakeTable.load(spark, root).vacuum(retainVersions = retain)
             }
@@ -258,8 +271,7 @@ object AdminHttp {
           case ("POST", List("api", "table", target, "compact")) =>
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
-            val cap = queryParams(ex).get("max_files_per_bucket")
-              .map(_.toInt).getOrElse(8)
+            val cap = intParam(ex, "max_files_per_bucket", default = 8, min = 1)
             val buckets = CdcStream.lockFor(root).synchronized {
               LakeTable.load(spark, root).compact(maxFilesPerBucket = cap)
             }
@@ -311,6 +323,18 @@ object AdminHttp {
       partitions_regex = Option(j.get("partitions_regex")).map(_.asText()),
       signatures = Option(j.get("signatures")).map(_.asBoolean()))
   }
+
+  /** Bounded-int query param: malformed or out-of-range input is a 400
+    * (client error), never a NumberFormatException-turned-500. */
+  private def intParam(ex: HttpExchange, name: String, default: Int,
+                       min: Int): Int =
+    queryParams(ex).get(name).map { v =>
+      val n = try v.toInt
+        catch { case _: NumberFormatException =>
+          fail(400, "bad_param", s"$name must be an integer, got '$v'") }
+      if (n < min) fail(400, "bad_param", s"$name must be >= $min, got $n")
+      n
+    }.getOrElse(default)
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).map(_.split('&').toSeq

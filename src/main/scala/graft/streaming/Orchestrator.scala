@@ -180,25 +180,45 @@ object Orchestrator {
         // an lsn floor at the table's per-sid applied watermark (lineage)
         // so the catch-up replay skips everything already applied — a
         // zone-pruned resume, NOT a duplicate full sync (the full-sync-*
-        // property survives, so backfill does not rerun).
-        val healedRoutes =
-          if (java.nio.file.Files.isDirectory(ckptDir)) routes
-          else routes.map { r =>
-            CdcStream.lockFor(r.lake.root).synchronized {
-              val snap = r.lake.snapshot()
-              if (snap.properties.getOrElse(r.epochKey, "-1").toLong < 0) r
-              else {
-                val floor = snap.lineage.filter(_.sid == u.sid)
-                  .map(_.maxLsn).maxOption.getOrElse(-1L)
-                System.err.println(s"[orchestrator] checkpoint $ckptDir " +
-                  s"missing for applied table ${r.mapping.target} — " +
-                  s"rebasing epoch and resuming from lsn > $floor")
-                r.lake.commit(Nil, Set.empty,
-                  properties = Map(r.epochKey -> "-1"))
-                r.copy(lsnFloor = floor)
+        // property survives, so backfill does not rerun). The floor is
+        // committed ATOMICALLY with the epoch rebase as a lake property
+        // (`heal-floor-<epochKey>`) and re-read on EVERY start — a crash
+        // mid-catch-up (checkpoint exists again, heal branch skipped) must
+        // still replay behind the floor, or pre-floor events would apply a
+        // second time. The floor is permanent-safe: lsn is monotone and
+        // everything at or below it is already applied.
+        val healedRoutes = routes.map { r =>
+          CdcStream.lockFor(r.lake.root).synchronized {
+            val floorKey = s"heal-floor-${r.epochKey}"
+            val snap = r.lake.snapshot()
+            if (!java.nio.file.Files.isDirectory(ckptDir) &&
+                snap.properties.getOrElse(r.epochKey, "-1").toLong >= 0) {
+              val floor = snap.lineage.filter(_.sid == u.sid)
+                .map(_.maxLsn).maxOption.getOrElse(-1L)
+              System.err.println(s"[orchestrator] checkpoint $ckptDir " +
+                s"missing for applied table ${r.mapping.target} — " +
+                s"rebasing epoch and resuming from lsn > $floor")
+              r.lake.commit(Nil, Set.empty,
+                properties = Map(r.epochKey -> "-1", floorKey -> floor.toString))
+            }
+            val props = r.lake.snapshot().properties
+            // companion signature table: its epoch can only be AHEAD of the
+            // doc table's after a doc rebase (batches commit doc-first) —
+            // rebase it to match or post-heal batches would be skipped on
+            // the signature route forever
+            r.signatures.foreach { s =>
+              CdcStream.lockFor(s.lake.root).synchronized {
+                val se = s.lake.snapshot().properties
+                  .getOrElse(r.epochKey, "-1").toLong
+                val de = props.getOrElse(r.epochKey, "-1").toLong
+                if (se > de)
+                  s.lake.commit(Nil, Set.empty,
+                    properties = Map(r.epochKey -> de.toString))
               }
             }
+            r.copy(lsnFloor = props.getOrElse(floorKey, "-1").toLong)
           }
+        }
         // record the targets this checkpoint routes to (vanished-target
         // detection on the next start)
         java.nio.file.Files.createDirectories(ckptDir)
@@ -289,15 +309,36 @@ object Orchestrator {
     var handle: ContinuousHandle = null
     val watcher = new Thread(() => {
       var last = mtime
+      var needBoot = false
       while (!stopFlag.get()) {
         Thread.sleep(pollMs)
         val mt = try mtime catch { case _: java.io.IOException => last }
         if (mt != last && !stopFlag.get()) {
           last = mt
-          System.err.println("[orchestrator] map file changed — stopping " +
-            "streams, rebuilding routes, resuming from checkpoints")
-          handle.handles.foreach(_.query.stop()) // blocks until terminated
-          handle.handles = boot()
+          // validate BEFORE stopping anything: a half-written or invalid
+          // map file must never take a running deployment down
+          val valid =
+            try { MapConfig.load(mapPath).databases.foreach(MapConfig.mappings); true }
+            catch { case e: Exception =>
+              System.err.println("[orchestrator] changed map file is " +
+                s"invalid — keeping current streams: ${e.getMessage}")
+              false
+            }
+          if (valid) {
+            System.err.println("[orchestrator] map file changed — stopping " +
+              "streams, rebuilding routes, resuming from checkpoints")
+            handle.handles.foreach(h =>
+              try h.query.stop() catch { case _: Exception => })
+            needBoot = true
+          }
+        }
+        if (needBoot && !stopFlag.get()) {
+          // a failed rebuild must not kill the watcher: retry each tick
+          try { handle.handles = boot(); needBoot = false }
+          catch { case e: Exception =>
+            System.err.println("[orchestrator] stream rebuild failed — " +
+              s"retrying next tick: ${e.getMessage}")
+          }
         }
       }
     }, "graft-map-watcher")

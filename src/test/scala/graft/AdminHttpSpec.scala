@@ -109,6 +109,22 @@ class AdminHttpSpec extends AnyFunSuite {
       assert(req(p, "POST",
         "/api/tbl/transcripts_v2/clone?db=app&type=history&target=t2_hist")
         .statusCode() == 201)
+      // re-cloning must MERGE with a configured entry, not wipe it
+      assert(req(p, "POST", "/api/db/app/tbl/transcripts_v2",
+        """{"type":"history","target":"t2_hist","filter":"turn_idx > 0",
+          |"signatures":false}""".stripMargin).statusCode() == 201)
+      assert(req(p, "POST",
+        "/api/tbl/transcripts_v2/clone?db=app&type=history&target=t2_hist")
+        .statusCode() == 201)
+      val e2 = MapConfig.load(mapPath.toString).databases.find(_.name == "app")
+        .get.tables("transcripts_v2")
+      assert(e2.filter.contains("turn_idx > 0") && e2.signatures.contains(false),
+        s"clone must preserve configured filter/signatures: $e2")
+      // clone against an unknown db: 404 and NO orphan target directory
+      assert(req(p, "POST",
+        "/api/tbl/transcripts_v2/clone?db=nope&target=orphan").statusCode() == 404)
+      assert(!LakeTable.exists(s"$targets/orphan"),
+        "a failed clone must not leave an orphan target")
     } finally srv.stop()
   }
 
@@ -180,6 +196,11 @@ class AdminHttpSpec extends AnyFunSuite {
       assert(rc.statusCode() == 200 && rc.body().contains("\"buckets\":1"), rc.body())
       val rv = req(p, "POST", "/api/table/transcripts/vacuum?retain=1")
       assert(rv.statusCode() == 200, rv.body())
+      // malformed/out-of-range params are CLIENT errors, not 500s
+      assert(req(p, "POST", "/api/table/transcripts/vacuum?retain=abc")
+        .statusCode() == 400)
+      assert(req(p, "POST", "/api/table/transcripts/compact?max_files_per_bucket=0")
+        .statusCode() == 400)
       assert(lake.read().count() == 4, "maintenance must not lose rows")
       assert(lake.snapshot().files.size == 1)
     } finally srv.stop()
@@ -216,6 +237,14 @@ class AdminHttpSpec extends AnyFunSuite {
         token = Some(viewer)).statusCode() == 403)
       assert(req(p, "POST", "/api/db", """{"name":"x"}""",
         token = Some(admin)).statusCode() == 201)
+      // path-normalization bypass: "//api/..." must be gated like
+      // "/api/..." (the JDK server may 400 it outright; what matters is
+      // that it can never SUCCEED unauthenticated and never mutates)
+      assert(req(p, "GET", "//api/map").statusCode() >= 400,
+        "collapsed-empty-segment paths must not bypass auth")
+      assert(req(p, "POST", "//api/db", """{"name":"y"}""").statusCode() >= 400)
+      assert(!Files.readString(mapPath).contains("\"y\""),
+        "an unauthenticated double-slash mutation must not land")
     } finally srv.stop()
   }
 }

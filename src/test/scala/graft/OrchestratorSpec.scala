@@ -359,6 +359,23 @@ class OrchestratorSpec extends AnyFunSuite {
         s"$c1 -> ${opCounts(after)}")
     assert(rows.count(_.head.toString.startsWith("bf-")) == bf.size,
       "full sync must NOT rerun (full-sync property survives healing)")
+
+    // the heal floor is a PERSISTED property, not in-memory route state:
+    // on a later start (checkpoint present, heal branch skipped) a newly
+    // delivered segment carrying pre-floor lsns must still filter out —
+    // the crash-mid-heal scenario where replay continues without the heal
+    val floor = after.snapshot().properties
+      .get("heal-floor-commit-epoch-app-s0-transcripts")
+    assert(floor.exists(_.toLong > 0), s"heal floor must persist, got $floor")
+    Seq(graft.model.ChangeEvent(5L, 0, "I", "transcripts", "s0", "none",
+      Map.empty, Map("conv_id" -> "stale-lsn", "turn_idx" -> "0",
+        "role" -> "user", "text" -> "pre-floor")))
+      .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00003")
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt", backfill)
+    val rows2 = stateOf(LakeTable.load(spark, s"$dir/targets/transcripts"))
+    assert(!rows2.exists(_.head == "stale-lsn"),
+      "pre-floor lsns must stay filtered on every start (persisted floor)")
   }
 
   test("live reload under a processing-time trigger: map change mid-stream, " +
@@ -404,6 +421,13 @@ class OrchestratorSpec extends AnyFunSuite {
           opCounts(LakeTable.load(spark, s"$dir/targets/t1")) == expT1
       }
       assert(!LakeTable.exists(s"$dir/targets/t2"), "t2 not routed yet")
+
+      // an INVALID map edit (half-written file) must not take the
+      // deployment down: the watcher validates before stopping anything
+      Files.writeString(Paths.get(s"$dir/map.json"), """{"databases": [{"na""")
+      Thread.sleep(800) // give the watcher a few ticks on the bad file
+      assert(h.current.forall(_.query.isActive),
+        "streams must keep running across an invalid map edit")
 
       // reload mid-stream: the map gains t2 — no drain boundary
       Files.writeString(Paths.get(s"$dir/map.json"), mapJson(

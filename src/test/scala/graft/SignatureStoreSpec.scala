@@ -111,6 +111,54 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("history"))
   }
 
+  test("multi-part doc ids are collision-free (length-prefixed encoding)") {
+    import org.apache.spark.sql.functions.col
+    // the classic separator-join collision: ("a<sep>b","c") vs ("a","b<sep>c")
+    val sep = ""
+    val ids = Seq((s"a${sep}b", "c"), ("a", s"b${sep}c"), ("a", null))
+      .toDF("k1", "k2")
+      .select(SignatureStore.docIdCol(Seq(col("k1"), col("k2"))).as("id"))
+      .collect().map(_.getString(0))
+    assert(ids.distinct.length == 3, s"doc ids must be distinct: ${ids.toSeq}")
+    // single-column keys stay verbatim (the existing sig tables' shape)
+    val one = Seq(Tuple1(42L)).toDF("k")
+      .select(SignatureStore.docIdCol(Seq(col("k"))).as("id"))
+      .head().getString(0)
+    assert(one == "42")
+  }
+
+  test("missing checkpoint heal rebases the signature table's epoch too") {
+    import java.nio.file.{Files, Paths}
+    val dir = SparkTestBase.tmpDir("sigheal")
+    val t = (0 until 20).map(i => s"h$i").mkString(" ")
+    Seq(iEv(1, 1, t)).toDS().toDF().coalesce(1)
+      .write.parquet(s"$dir/wal/seg-00000")
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"docs":{"type":"clone","target":"docs","signatures":true}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("docs" -> docSpec)
+    graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map.json",
+      s"$dir/targets", specs, s"$dir/ckpt")
+    assert(sigRows(LakeTable.load(spark, s"$dir/targets/docs_signatures"))
+      .keySet == Set("1"))
+    // lose the checkpoint; new doc arrives: after healing, the SIGNATURE
+    // table must also receive it (its epoch is ahead of the rebased doc
+    // epoch and would otherwise skip every post-heal batch)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+    Seq(iEv(999, 2, t + " new")).toDS().toDF().coalesce(1)
+      .write.parquet(s"$dir/wal/seg-00001")
+    graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map.json",
+      s"$dir/targets", specs, s"$dir/ckpt")
+    assert(sigRows(LakeTable.load(spark, s"$dir/targets/docs_signatures"))
+      .keySet == Set("1", "2"),
+      "post-heal batches must reach the signature table")
+  }
+
   test("bootstrap: late opt-in and backfill rows get signed (full-sync analog)") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
