@@ -36,8 +36,11 @@ object Similarity {
   private val qvec: Column =
     transform(col("embedding"), x => round(x.cast("double") * Q, 0).cast("long"))
 
+  // codegen'd custom Expression (graft.functions.VectorExprs): the
+  // aggregate(zip_with(...)) composition is CodegenFallback — interpreted
+  // lambda dispatch per element; VectorExprsSpec pins bit-equality
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotL(a, b)
 
   // NOTE every oracle sum() is CAST AS BIGINT: DuckDB's sum over BIGINT
   // returns HUGEINT (int128), which the driver's value hasher normalizes
@@ -241,7 +244,7 @@ ORDER BY vec_id"""
   val IvfTopK = 5
 
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExprs.sqDistL(a, b)
 
   /** Default-knob entry (driver contract). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =

@@ -111,6 +111,27 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("history"))
   }
 
+  test("crash between doc commit and sig commit replays only the missing half") {
+    val dir = SparkTestBase.tmpDir("sigcrash")
+    val docs = LakeTable.create(spark, s"$dir/docs", docSpec)
+    val sig = LakeTable.create(spark, s"$dir/sigs", SignatureStore.spec())
+    val t = (0 until 20).map(i => s"c$i").mkString(" ")
+    val b0 = Seq(iEv(1, 1, t))
+    val b1 = Seq(iEv(2, 2, t + " more"))
+    // batch 0 lands on both
+    graft.operators.Replay.applyBatch(docs, b0.toDS(), mapping, 0)
+    SignatureStore.applyBatch(sig, b0.toDS(), mapping, docs, batchId = 0)
+    // batch 1: CRASH between the two commits — doc applied, sig not
+    graft.operators.Replay.applyBatch(docs, b1.toDS(), mapping, 1)
+    assert(sigRows(sig).keySet == Set("1"))
+    // restart redelivers batch 1 to both routes: doc side epoch-skips,
+    // sig side applies — each route replays exactly its missing half
+    assert(!graft.operators.Replay.applyBatch(docs, b1.toDS(), mapping, 1))
+    assert(SignatureStore.applyBatch(sig, b1.toDS(), mapping, docs, batchId = 1))
+    assert(sigRows(sig).keySet == Set("1", "2"))
+    assert(docs.read().count() == 2)
+  }
+
   test("multi-part doc ids are collision-free (length-prefixed encoding)") {
     import org.apache.spark.sql.functions.col
     // the classic separator-join collision: ("a<sep>b","c") vs ("a","b<sep>c")
