@@ -300,11 +300,31 @@ object Bench {
     def rawSpread(xs: Seq[Double]): Double = xs.max / xs.min
     val json =
       s"""{"metric":"cdc_replay_events_per_sec","value":${epsHi.round},"unit":"events/sec","queries":$qs,"sf":"$sfDir","scaling":{"events":$events,"batches":$nBatches,"salts":$salts,"runs_per_level":$runs,"extra_samples":$extras,"executors_lo":$loExec,"executors_hi":$hiExec,"cores_per_executor":$coresPerExec,"executors_seen_lo":${execSeen.getOrElse("lo", loExec)},"executors_seen_hi":${execSeen.getOrElse("hi", hiExec)},"master_lo":"$loMaster","master_hi":"$hiMaster","samples_sec_lo":${arr(losRaw)},"samples_sec_hi":${arr(hisRaw)},"controls_sec_lo":${arr(ctrlLo)},"controls_sec_hi":${arr(ctrlHi)},"control_min_sec":${f"$ctrlMin%.2f"},"control_ratio_at_min_lo":${f"$ctrlRatioAtMinLo%.2f"},"control_ratio_at_min_hi":${f"$ctrlRatioAtMinHi%.2f"},"sec_lo":${f"$tLo%.2f"},"sec_hi":${f"$tHi%.2f"},"sec_lo_median":${f"$tLoMed%.2f"},"sec_hi_median":${f"$tHiMed%.2f"},"spread_lo":${f"${rawSpread(losRaw)}%.2f"},"spread_hi":${f"${rawSpread(hisRaw)}%.2f"},"eps_lo":${epsLo.round},"eps_hi":${epsHi.round},"efficiency":${f"$eff%.3f"},"efficiency_median":${f"$effMed%.3f"},"spread_warning":$spreadWarning,"guard_spread_fired":$spreadFired,"guard_eff_floor_fired":$effFloorFired,"guard_budget_sec":$budgetSec,"guard_budget_exhausted":$budgetExhausted,"efficiency_suspect":$efficiencySuspect},"query_suite_total_sec":${f"${queries.map(_._2).sum}%.2f"}}"""
+    // Record provenance: every run lands in its OWN timestamped file and
+    // never overwrites an earlier one — a cited record must keep existing
+    // (the round-4 defect: a later noisy run clobbered BENCH_LOCAL.json and
+    // turned a cited number into an unverifiable claim).
+    val runStamp = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+      .format(new java.util.Date())
+    val recordFile = {
+      var p = java.nio.file.Paths.get(s"BENCH_LOCAL-$runStamp.json")
+      var n = 1
+      while (java.nio.file.Files.exists(p)) {
+        p = java.nio.file.Paths.get(s"BENCH_LOCAL-$runStamp-$n.json"); n += 1
+      }
+      p
+    }
     println(json)
-    // belt-and-braces: also land the line in a file, in case a logger
-    // prefixes stdout in some future harness
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    try java.nio.file.Files.writeString(recordFile, json + "\n")
     catch { case _: Throwable => }
+    System.err.println(s"[bench] full record: $recordFile")
+    // COMPACT second line, printed LAST: the driver's stdout-tail capture
+    // has a bounded window, and the full record (sample/control arrays)
+    // outgrew it in round 4 (`parsed: null`). The tail therefore always
+    // ends with a short, parseable record carrying the headline + guard
+    // verdicts; `record_file` points at the on-disk full record.
+    val compact =
+      s"""{"metric":"cdc_replay_events_per_sec","value":${epsHi.round},"unit":"events/sec","sf":"$sfDir","scaling":{"eps_lo":${epsLo.round},"eps_hi":${epsHi.round},"efficiency":${f"$eff%.3f"},"efficiency_median":${f"$effMed%.3f"},"spread_lo":${f"${rawSpread(losRaw)}%.2f"},"spread_hi":${f"${rawSpread(hisRaw)}%.2f"},"control_ratio_at_min_lo":${f"$ctrlRatioAtMinLo%.2f"},"control_ratio_at_min_hi":${f"$ctrlRatioAtMinHi%.2f"},"spread_warning":$spreadWarning,"guard_spread_fired":$spreadFired,"guard_eff_floor_fired":$effFloorFired,"guard_budget_exhausted":$budgetExhausted,"efficiency_suspect":$efficiencySuspect},"query_suite_total_sec":${f"${queries.map(_._2).sum}%.2f"},"record_file":"$recordFile"}"""
+    println(compact)
   }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     "text_lang_id" -> TextPipeline.langId,
     "text_quality" -> TextPipeline.quality,
     "text_tokens" -> TextPipeline.tokenCount,
+    "text_tokens_vocab" -> TextPipeline.tokenCountVocab,
     "text_fingerprint" -> TextPipeline.fingerprint,
     "pipeline_curation" -> TextPipeline.curation,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
@@ -105,6 +106,7 @@ object SparkEntry {
     "text_lang_id" -> TextPipeline.langIdOracle,
     "text_quality" -> TextPipeline.qualityOracle,
     "text_tokens" -> TextPipeline.tokenCountOracle,
+    "text_tokens_vocab" -> TextPipeline.tokenCountVocabOracle,
     "text_fingerprint" -> TextPipeline.fingerprintOracle,
     "pipeline_curation" -> TextPipeline.curationOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,

@@ -20,12 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Contract (matches the engine's quantized-vector invariants, asserted by
   * VectorExprsSpec against the HOF formulation): both inputs are
   * array<bigint> of equal length with no NULL elements; a NULL array
-  * yields NULL (nullSafeEval / nullSafeCodeGen).
+  * yields NULL (nullSafeEval / nullSafeCodeGen); MISMATCHED lengths yield
+  * NULL too — matching the aggregate(zip_with(...)) formulation this
+  * replaces (zip_with null-pads the shorter side and the sum
+  * null-propagates), so an upstream dimension bug surfaces as a visible
+  * NULL instead of a plausible-but-wrong truncated fold.
   */
 abstract class LongVectorFold extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[GraftSqlShim.AbstractType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // length mismatch -> NULL
 
   /** Java source for one element's contribution, given element exprs. */
   protected def elemJava(x: String, y: String): String
@@ -34,11 +39,14 @@ abstract class LongVectorFold extends BinaryExpression with ExpectsInputTypes {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc += elemEval(x.getLong(i), y.getLong(i)); i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += elemEval(x.getLong(i), y.getLong(i)); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,12 +55,16 @@ abstract class LongVectorFold extends BinaryExpression with ExpectsInputTypes {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${elemJava(s"$a.getLong($i)", s"$b.getLong($i)")};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${elemJava(s"$a.getLong($i)", s"$b.getLong($i)")};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }

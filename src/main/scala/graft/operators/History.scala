@@ -136,12 +136,13 @@ object History {
       // yields R-detection, emptiness, per-sid lineage and the per-batch op
       // counters — the same single-aggregation shape as Replay.applyBatch
       // (three separate passes cost three scans at micro-batch cadence)
-      val stats = routed.toDF().select("sid", "op", "lsn")
+      val stats = routed.toDF().select("sid", "op", "lsn", "seq")
         .groupBy("sid", "op")
-        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"))
+        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"),
+          max(Replay.eventOrdCol).as("mo"))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          r.getLong(4)))
+          r.getLong(4), r.getLong(5)))
       val dml = stats.filter(s => s._2 == "I" || s._2 == "U" || s._2 == "D")
 
       // R-message schema evolution, before the apply (north rule) — same
@@ -242,12 +243,19 @@ object History {
         LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)
       }.toSeq
       lake.writeMetrics(s"$epochKey-$batchId",
-        dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n) =>
+        dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n, _) =>
           (batchId, sid, "op", op, n) } ++
           m.toSeq.sortBy(_._1).map { case (k, v) =>
             (batchId, null: String, "merge", k, v) })
+      // event-granular applied watermark per sid (Replay.eventOrdCol): the
+      // checkpoint-loss heal floors the catch-up replay on this
+      val ordProps = dml.groupBy(_._1).map { case (sid, ss) =>
+        val k = s"applied-ord-$sid"
+        k -> math.max(ss.map(_._6).max,
+          snap0.properties.getOrElse(k, "-1").toLong).toString
+      }
       lake.commit(newFiles, removed,
-        properties = Map(
+        properties = ordProps ++ Map(
           epochKey -> batchId.toString,
           "lsn-high-watermark" -> math.max(
             if (lin.isEmpty) -1L else lin.map(_.maxLsn).max,

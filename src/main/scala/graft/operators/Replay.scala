@@ -57,6 +57,15 @@ object Replay {
   @inline private def packOrd(lsn: Long, seq: Int, sub: Int): Long =
     (lsn << 20) | (seq.toLong << 1) | sub.toLong // seq < 2^19, sub in {0,1}
 
+  /** Event-granular applied position `(lsn << 20) | (seq << 1) | 1` —
+    * monotone in (lsn, seq). Committed per sid as the `applied-ord-<sid>`
+    * snapshot property so checkpoint-loss healing can floor the catch-up
+    * replay at EVENT granularity: multiple events share one lsn (seq
+    * orders them), and a micro-batch boundary can split one lsn's events
+    * across WAL segments — an lsn-granular floor would silently drop the
+    * unapplied remainder (row loss). */
+  def eventOrdCol: Column = shiftleft(col("lsn"), 20) + col("seq") * 2 + 1
+
   // ---------------------------------------------------------------------
   // P1/P2: row filter & column transform over the decoded row env
   // ---------------------------------------------------------------------
@@ -636,12 +645,13 @@ object Replay {
       // yields lineage, metrics, the salt ord-range, emptiness, and
       // R-message detection — instead of five separate jobs, which at
       // micro-batch cadence would dominate wall time.
-      val stats = timed("stats")(cached.toDF().select("sid", "op", "lsn")
+      val stats = timed("stats")(cached.toDF().select("sid", "op", "lsn", "seq")
         .groupBy("sid", "op")
-        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"))
+        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"),
+          max(eventOrdCol).as("mo"))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          r.getLong(4))))
+          r.getLong(4), r.getLong(5))))
       val dml = stats.filter(s => s._2 != "R" && s._2 != "T")
 
       // schema evolution from R messages, before the merge (north rule)
@@ -689,9 +699,16 @@ object Replay {
       val metricProps = dml.groupBy(_._2).map { case (op, ss) =>
         val k = s"metrics-ops-$op"
         k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
-      }
+      } ++
+        // event-granular applied watermark per sid (see eventOrdCol): the
+        // checkpoint-loss heal floors the catch-up replay on this
+        dml.groupBy(_._1).map { case (sid, ss) =>
+          val k = s"applied-ord-$sid"
+          k -> math.max(ss.map(_._6).max,
+            prev.getOrElse(k, "-1").toLong).toString
+        }
 
-      val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n) =>
+      val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n, _) =>
         (batchId, sid, "op", op, n) }
       mergeApply(lake, xfs, batchId, lin, hwm, metricProps, epochKey, opRows)
       true

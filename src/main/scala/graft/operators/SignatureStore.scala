@@ -147,9 +147,35 @@ object SignatureStore {
     try {
       val snap = sig.snapshot()
       val bucketOf = pmod(xxhash64(col("doc_id")), lit(snap.numBuckets))
-      val touched = f.select(bucketOf.cast("int").as("b")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val target = sig.read(buckets = Some(touched))
+      // ONE stats pass yields the touched buckets AND the batch's doc_id
+      // bounds — zone predicates on the signature read, mirroring
+      // Replay.mergeApply: a narrow-key batch (incremental steady state)
+      // prunes whole signature files inside touched buckets instead of
+      // rewriting every file of every touched bucket per micro-batch
+      // (which at 10^10 docs would rewrite nearly the whole companion
+      // table per batch). doc_id is the rendered merge key: a NULL single-
+      // column key renders to NULL doc_id, so the null flag drops the zone
+      // (stats don't cover nulls — same soundness rule as the doc merge).
+      val statRow = f.agg(
+        collect_set(bucketOf.cast("int")).as("bs"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        max(col("doc_id").isNull.cast("int")).as("nl")).head()
+      val touched = statRow.getSeq[Int](0).toSet
+      val zones: Seq[graft.lake.Zone] =
+        if (touched.isEmpty || statRow.getInt(3) != 0) Nil
+        else Seq(graft.lake.Zone("doc_id",
+          lo = Option(statRow.getString(1)), hi = Option(statRow.getString(2))))
+      // self-compaction cap (same knob as the doc merge): a bucket past the
+      // cap loses its zone pruning for this merge, so the whole bucket
+      // rewrites into O(1) files — bounding the small-file accumulation
+      // zone pruning would otherwise cause
+      val fileCap = sys.env.getOrElse("GRAFT_COMPACT_FILE_CAP", "8").toInt
+      val perBucket = snap.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+      val fragmented: Set[Int] =
+        if (zones.isEmpty) Set.empty
+        else touched.filter(b => perBucket.getOrElse(b, 0) > fileCap)
+      val target = sig.read(buckets = Some(touched), zones = zones,
+        zoneExemptBuckets = fragmented)
 
       val j = target.alias("t").join(f.alias("x"),
         col("t.doc_id") <=> col("x.doc_id"), "full_outer")
@@ -180,8 +206,10 @@ object SignatureStore {
         val out = keep.unionByName(signed)
           .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
         val newFiles = sig.writeDataFiles(out, snap.currentSchemaId)
-        val removed = snap.files.filter(df => touched.contains(df.bucket))
-          .map(_.path).toSet
+        // remove EXACTLY what the target read scanned: a zone-pruned file
+        // was neither read nor rewritten, so it must stay live
+        val removed = sig.selectFiles(buckets = Some(touched), zones = zones,
+          zoneExemptBuckets = fragmented).map(_.path).toSet
         sig.commit(newFiles, removed,
           properties = Map(epochKey -> batchId.toString))
         true

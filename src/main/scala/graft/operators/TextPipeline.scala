@@ -75,11 +75,12 @@ FROM documents GROUP BY 1 ORDER BY keep_id"""
     val sh = shingleSet(docs(spark, dir))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
-    val kept = Similarity.guardOccupancy("dedup_ngram_jaccard",
-      sh.join(rare, "s"), Seq("s"))
+    val kept = sh.join(rare, "s")
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.as("a").join(kept.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val inter = Similarity.observeCandidates("dedup_ngram_jaccard",
+      kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")),
+      col("a.s"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -129,14 +130,15 @@ ORDER BY a, b"""
     val sigCols = (0 until numHashes).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = Similarity.guardOccupancy("dedup_minhash_lsh",
-      (0 until numBands).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bk"))
-      }.reduce(_ unionAll _), Seq("band", "bk"))
-    val cand = bands.as("x").join(bands.as("y"),
+    val bands = (0 until numBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bk"))
+    }.reduce(_ unionAll _)
+    val cand = Similarity.observeCandidates("dedup_minhash_lsh",
+      bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id")),
+      struct(col("x.band"), col("x.bk")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Verify ONLY the LSH candidate pairs: shingle intersections are
@@ -191,11 +193,12 @@ ORDER BY a, b"""
   val SimhashBands = 4 // 8-bit bands: guaranteed recall at hamming <= 3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = Similarity.guardOccupancy("dedup_simhash",
-      fpBands(simhashSignatures(docs(spark, dir))), Seq("band", "bk"))
-    banded.as("x").join(banded.as("y"),
+    val banded = fpBands(simhashSignatures(docs(spark, dir)))
+    Similarity.observeCandidates("dedup_simhash",
+      banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id")),
+      struct(col("x.band"), col("x.bk")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
@@ -263,10 +266,11 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * text scanned is the delta's. */
   def dedupAgainstSignatures(corpusSigs: DataFrame, delta: DataFrame): DataFrame = {
     val deltaSigs = minhashSignatures(delta)
-    val corpusBands = Similarity.guardOccupancy("dedup_incremental",
-      sigBands(corpusSigs), Seq("band", "bk"))
-    val cand = corpusBands.as("x").join(sigBands(deltaSigs).as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+    val corpusBands = sigBands(corpusSigs)
+    val cand = Similarity.observeCandidates("dedup_incremental",
+      corpusBands.as("x").join(sigBands(deltaSigs).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk")),
+      struct(col("x.band"), col("x.bk")))
       .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"))
       .distinct()
     val ca = corpusSigs.select(col("doc_id").as("corpus_id") +:
@@ -357,8 +361,10 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * persisted corpus fingerprint table — banded candidates (pigeonhole-
     * complete at hamming <= 3), hamming verify on the fps alone. */
   def dedupSimhashAgainstFps(corpusFps: DataFrame, delta: DataFrame): DataFrame =
-    fpBands(corpusFps).as("x").join(fpBands(simhashSignatures(delta)).as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+    Similarity.observeCandidates("dedup_incremental_simhash",
+      fpBands(corpusFps).as("x").join(fpBands(simhashSignatures(delta)).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk")),
+      struct(col("x.band"), col("x.bk")))
       .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
@@ -551,6 +557,40 @@ FROM documents ORDER BY doc_id"""
       .select(col("doc_id"), coalesce(col("vocab_tokens"), lit(0L)).as("vocab_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Demo vocab size for the oracle-gated vocab path. */
+  val VocabTopN = 256
+
+  /** Driver-contract entry for the VOCAB tokenizer path: a deterministic
+    * demo vocabulary — the corpus's top-[[VocabTopN]] words by frequency
+    * (ties broken by word order) — is materialized to a vocab FILE and
+    * pushed through [[tokenCountWithVocab]], so the production hook
+    * (file -> broadcast hash join -> OOV byte-fallback) is what the DuckDB
+    * oracle gates, not a test-only shortcut. The driver-side piece is the
+    * bounded N-row vocab collect (broadcast-dim-sized metadata); everything
+    * per-row stays distributed. A real deployment points the same hook at
+    * its shipped BPE vocab file. */
+  def tokenCountVocab(spark: SparkSession, dir: String): DataFrame = {
+    val top = docs(spark, dir).select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(VocabTopN)
+      .select("w").collect().map(_.getString(0))
+    val vf = java.nio.file.Files.createTempFile("graft-vocab", ".txt")
+    vf.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(vf, top.mkString("\n"))
+    tokenCountWithVocab(spark, dir, vf)
+  }
+
+  val tokenCountVocabOracle: String =
+    s"""WITH wx AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+v AS (SELECT w FROM wx GROUP BY w ORDER BY count(*) DESC, w LIMIT $VocabTopN),
+tok AS (SELECT wx.doc_id,
+          CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1
+                        ELSE CAST(ceil(len(wx.w) / 4.0) AS BIGINT) END) AS BIGINT) AS vocab_tokens
+        FROM wx LEFT JOIN v ON v.w = wx.w GROUP BY wx.doc_id)
+SELECT d.doc_id, coalesce(t.vocab_tokens, 0) AS vocab_tokens
+FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id"""
 
   // ---------------------------------------------------------------------
   // T4: document fingerprint — rolling polynomial hash over the word

@@ -1,0 +1,284 @@
+package graft.sources
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** pgoutput wire decoder — the production-parity half of the stream source.
+  *
+  * The reference opens a `replication=database` connection and consumes
+  * pgoutput frames row-at-a-time (`/root/reference/streamer/
+  * replicate_database.go:105-338`: XLogData / keepalive dispatch, then
+  * Begin/Commit/Relation/Insert/Update/Delete/Truncate handling). This is
+  * the Spark-side analog, split the way a distributed engine needs it:
+  *
+  *   1. [[PgOutput.decodeChunk]] — a PURE byte decoder from the PUBLIC
+  *      pgoutput message format (PostgreSQL docs, "Logical Streaming
+  *      Replication Protocol" + "Protocol Message Formats") to the engine's
+  *      [[ChangeEvent]] rows. Text-mode tuple values only (the reference
+  *      likewise decodes text-format columns, `process_message.go:33-44`);
+  *      unchanged-TOAST columns ('u') are simply ABSENT from the value map
+  *      — exactly the absence the merge's TOAST coalescing keys on.
+  *   2. The CHUNK CONTRACT that makes frames replayable without a socket:
+  *      a lightweight reader process (or test) tails the replication
+  *      connection and rolls XLogData payloads into chunk files, each
+  *      chunk PREFIXED with a snapshot of the current Relation registry
+  *      (pgoutput sends Relation metadata once per connection, not per
+  *      chunk — re-emitting it per chunk makes every chunk self-contained,
+  *      so chunks can be decoded independently, in parallel, and replayed
+  *      from any point, which is what checkpoint-resume needs).
+  *   3. [[PgOutput.readChunks]] — chunk files -> `Dataset[ChangeEvent]`
+  *      via binaryFile + a per-file flatMap (one chunk = one ordered frame
+  *      run, so the per-chunk decode is sequential by construction while
+  *      chunks decode in parallel). Swap the batch read for `readStream`
+  *      + the same flatMap and the engine's whole apply path — routing,
+  *      fold, merge, exactly-once epoch — runs unchanged on a live tail:
+  *      the checkpoint plays the slot ack exactly as with the parquet
+  *      event log (CdcStream class doc).
+  *
+  * LSN/seq mapping: each DML row gets `lsn` = the transaction's final LSN
+  * (from Begin, `replicate_database.go` uses the commit position as the
+  * ack watermark) and `seq` = its 0-based position within the transaction
+  * — matching the engine's (lsn, seq) ordering contract (Replay.packOrd).
+  *
+  * Chunk layout (little framing, big-endian ints like the wire):
+  *   repeated records: [len: int32][payload: len bytes]
+  * where each payload is one pgoutput message exactly as it arrived in
+  * XLogData (the reader strips the XLogData/keepalive envelope — keepalives
+  * carry no data and are dropped at the socket).
+  */
+object PgOutput {
+
+  /** Relation metadata as decoded from an 'R' message. */
+  final case class Relation(id: Int, name: String, replicaIdentity: Char,
+                            columns: Seq[String], typeOids: Seq[Int])
+
+  /** Common pg type OIDs -> the engine's DDL type names (Replay.parseType
+    * vocabulary); unknown OIDs decode as text, like the reference's
+    * fallback codec. */
+  private val typeNames: Map[Int, String] = Map(
+    16 -> "boolean", 17 -> "bytea", 20 -> "bigint", 21 -> "smallint",
+    23 -> "int", 25 -> "text", 700 -> "float", 701 -> "double",
+    1042 -> "text", 1043 -> "varchar", 1082 -> "date",
+    1114 -> "timestamp", 1184 -> "timestamptz")
+
+  def typeNameOf(oid: Int): String = typeNames.getOrElse(oid, "text")
+
+  private def cstring(b: ByteBuffer): String = {
+    val sb = new java.lang.StringBuilder
+    var c = b.get()
+    while (c != 0) { sb.append(c.toChar); c = b.get() }
+    sb.toString
+  }
+
+  /** TupleData: ncols(int16), then per column a kind byte —
+    * 'n' NULL, 'u' unchanged TOAST (absent from the map), 't' text value
+    * (len int32 + bytes). Returns name -> value for present columns;
+    * genuine NULLs map to null values (the engine's value-map convention:
+    * present-with-null != absent). */
+  private def tuple(b: ByteBuffer, cols: Seq[String]): Map[String, String] = {
+    val n = b.getShort().toInt
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < n) {
+      b.get().toChar match {
+        case 'n' => out += cols(i) -> null
+        case 'u' => // unchanged TOAST: absent — merge keeps the target value
+        case 't' =>
+          val len = b.getInt()
+          val bytes = new Array[Byte](len)
+          b.get(bytes)
+          out += cols(i) -> new String(bytes, UTF_8)
+        case k => throw new IllegalArgumentException(s"tuple kind '$k'")
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Decoder state across the messages of one chunk. */
+  private final class State {
+    val relations = scala.collection.mutable.Map[Int, Relation]()
+    var txnLsn: Long = 0L
+    var seq: Int = 0
+  }
+
+  /** Decode one pgoutput message; returns the engine event it yields, if
+    * any (Begin/Commit/Origin/Message frames only move decoder state). */
+  private def message(payload: Array[Byte], sid: String,
+                      st: State): Option[ChangeEvent] = {
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    def rel(id: Int): Relation = st.relations.getOrElse(id,
+      throw new IllegalStateException(
+        s"DML for unknown relation $id — chunk not self-contained " +
+          "(writer must prefix each chunk with the Relation registry)"))
+    def nextSeq(): Int = { val s = st.seq; st.seq += 1; s }
+    b.get().toChar match {
+      case 'B' => // Begin: finalLSN(8) ts(8) xid(4)
+        st.txnLsn = b.getLong(); st.seq = 0; None
+      case 'C' => None // Commit: flags(1) commitLSN(8) endLSN(8) ts(8)
+      case 'R' => // Relation
+        val id = b.getInt()
+        val ns = cstring(b)
+        val name = cstring(b)
+        val replIdent = b.get().toChar
+        val ncols = b.getShort().toInt
+        val cols = (0 until ncols).map { _ =>
+          b.get() // per-column flags (1 = part of key)
+          val cname = cstring(b)
+          val typeOid = b.getInt()
+          b.getInt() // typmod
+          (cname, typeOid)
+        }
+        val full = if (ns == "public" || ns.isEmpty) name else s"$ns.$name"
+        st.relations(id) = Relation(id, full, replIdent,
+          cols.map(_._1), cols.map(_._2))
+        // surface as the engine's 'R' event: column -> type-name map, the
+        // shape Replay.evolveSchema consumes (schema evolution before merge)
+        Some(ChangeEvent(st.txnLsn, nextSeq(), "R", full, sid, "none",
+          Map.empty, cols.map { case (c, o) => c -> typeNameOf(o) }.toMap))
+      case 'I' => // Insert: relid(4) 'N' tuple
+        val r = rel(b.getInt())
+        require(b.get().toChar == 'N')
+        Some(ChangeEvent(st.txnLsn, nextSeq(), "I", r.name, sid, "none",
+          Map.empty, tuple(b, r.columns)))
+      case 'U' => // Update: relid(4) ['K'|'O' oldtuple] 'N' newtuple
+        val r = rel(b.getInt())
+        var oldKind = "none"
+        var before = Map.empty[String, String]
+        var tag = b.get().toChar
+        if (tag == 'K' || tag == 'O') {
+          oldKind = if (tag == 'K') "K" else "O"
+          before = tuple(b, r.columns)
+          tag = b.get().toChar
+        }
+        require(tag == 'N', s"update tag '$tag'")
+        Some(ChangeEvent(st.txnLsn, nextSeq(), "U", r.name, sid, oldKind,
+          before, tuple(b, r.columns)))
+      case 'D' => // Delete: relid(4) 'K'|'O' oldtuple
+        val r = rel(b.getInt())
+        val tag = b.get().toChar
+        require(tag == 'K' || tag == 'O', s"delete tag '$tag'")
+        Some(ChangeEvent(st.txnLsn, nextSeq(), "D", r.name, sid,
+          if (tag == 'K') "K" else "O", tuple(b, r.columns), Map.empty))
+      case 'T' => // Truncate: nrel(4) options(1) relids — parsed, W8 no-op
+        val n = b.getInt()
+        b.get()
+        val names = (0 until n).map(_ => rel(b.getInt()).name)
+        Some(ChangeEvent(st.txnLsn, nextSeq(), "T",
+          names.headOption.getOrElse(""), sid, "none", Map.empty, Map.empty))
+      case 'O' | 'M' => None // Origin / logical decoding Message: ignored
+      case m => throw new IllegalArgumentException(s"pgoutput message '$m'")
+    }
+  }
+
+  /** Decode one self-contained chunk (length-prefixed pgoutput messages)
+    * into engine events, in order. Pure — no Spark, no IO. */
+  def decodeChunk(chunk: Array[Byte], sid: String): Seq[ChangeEvent] = {
+    val b = ByteBuffer.wrap(chunk).order(ByteOrder.BIG_ENDIAN)
+    val st = new State
+    val out = Seq.newBuilder[ChangeEvent]
+    while (b.remaining() >= 4) {
+      val len = b.getInt()
+      val payload = new Array[Byte](len)
+      b.get(payload)
+      message(payload, sid, st).foreach(out += _)
+    }
+    out.result()
+  }
+
+  /** Chunk files -> Dataset[ChangeEvent]: each file decodes independently
+    * (self-contained chunks), files decode in parallel. Batch form shown;
+    * the streaming form is the same flatMap over
+    * `spark.readStream.format("binaryFile")` — the engine's apply path is
+    * identical from here on (CdcStream routes the Dataset exactly like the
+    * parquet event log). */
+  def readChunks(spark: SparkSession, glob: String, sid: String): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => decodeChunk(bytes, sid) }
+  }
+
+  // ---------------------------------------------------------------------
+  // Wire writer — the test/tooling half: builds byte-exact pgoutput
+  // messages (the same layout Postgres emits), so the decoder is exercised
+  // against real wire bytes without a server. Also what a capture tool
+  // would use to re-frame a socket tail into self-contained chunks.
+  // ---------------------------------------------------------------------
+  object Wire {
+    private def buf(): java.io.ByteArrayOutputStream = new java.io.ByteArrayOutputStream()
+    private def be16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >> 8) & 0xff); o.write(v & 0xff)
+    }
+    private def be32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >> 24) & 0xff); o.write((v >> 16) & 0xff)
+      o.write((v >> 8) & 0xff); o.write(v & 0xff)
+    }
+    private def be64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      be32(o, (v >> 32).toInt); be32(o, v.toInt)
+    }
+    private def cstr(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+      o.write(s.getBytes(UTF_8)); o.write(0)
+    }
+    private def tup(o: java.io.ByteArrayOutputStream,
+                    vals: Seq[Option[String]], toastAbsent: Set[Int] = Set.empty): Unit = {
+      be16(o, vals.size)
+      vals.zipWithIndex.foreach {
+        case (_, i) if toastAbsent(i) => o.write('u')
+        case (None, _) => o.write('n')
+        case (Some(v), _) =>
+          o.write('t')
+          val bs = v.getBytes(UTF_8)
+          be32(o, bs.length); o.write(bs)
+      }
+    }
+
+    def begin(finalLsn: Long, xid: Int): Array[Byte] = {
+      val o = buf(); o.write('B'); be64(o, finalLsn); be64(o, 0L); be32(o, xid)
+      o.toByteArray
+    }
+    def commit(lsn: Long): Array[Byte] = {
+      val o = buf(); o.write('C'); o.write(0); be64(o, lsn); be64(o, lsn)
+      be64(o, 0L); o.toByteArray
+    }
+    def relation(id: Int, ns: String, name: String,
+                 cols: Seq[(String, Int)], replIdent: Char = 'd'): Array[Byte] = {
+      val o = buf(); o.write('R'); be32(o, id); cstr(o, ns); cstr(o, name)
+      o.write(replIdent); be16(o, cols.size)
+      cols.foreach { case (c, oid) =>
+        o.write(1); cstr(o, c); be32(o, oid); be32(o, -1)
+      }
+      o.toByteArray
+    }
+    def insert(relId: Int, vals: Seq[Option[String]]): Array[Byte] = {
+      val o = buf(); o.write('I'); be32(o, relId); o.write('N'); tup(o, vals)
+      o.toByteArray
+    }
+    def update(relId: Int, vals: Seq[Option[String]],
+               oldKey: Option[(Char, Seq[Option[String]])] = None,
+               toastAbsent: Set[Int] = Set.empty): Array[Byte] = {
+      val o = buf(); o.write('U'); be32(o, relId)
+      oldKey.foreach { case (k, ov) => o.write(k); tup(o, ov) }
+      o.write('N'); tup(o, vals, toastAbsent)
+      o.toByteArray
+    }
+    def delete(relId: Int, kind: Char, oldVals: Seq[Option[String]]): Array[Byte] = {
+      val o = buf(); o.write('D'); be32(o, relId); o.write(kind)
+      tup(o, oldVals); o.toByteArray
+    }
+    def truncate(relIds: Seq[Int]): Array[Byte] = {
+      val o = buf(); o.write('T'); be32(o, relIds.size); o.write(0)
+      relIds.foreach(be32(o, _)); o.toByteArray
+    }
+
+    /** Frame messages into one self-contained chunk (length-prefixed). */
+    def chunk(messages: Seq[Array[Byte]]): Array[Byte] = {
+      val o = buf()
+      messages.foreach { m => be32(o, m.length); o.write(m) }
+      o.toByteArray
+    }
+  }
+}

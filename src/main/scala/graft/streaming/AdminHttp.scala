@@ -35,11 +35,21 @@ import javax.crypto.spec.SecretKeySpec
   * reload routes it and the per-(table, sid) full-sync property triggers
   * its initial sync exactly once.
   *
+  * Row-level parity (round 5): per-entity GET (`/api/db/{db}/url/{sid}`,
+  * `/api/db/{db}/tbl/{src}` — the reference's `/api/url/{id}` /
+  * `/api/map/{id}`, `api.go:319-342`), PUT-for-update of URLs
+  * (`handle_url.go`), `/api/status` (deployment summary gate), and CORS
+  * headers + OPTIONS preflight (the reference's CORS middleware). Every
+  * path-bearing name is validated against a safe-identifier pattern
+  * before touching the filesystem or map, and every response body is
+  * Jackson-serialized (request-supplied strings escape correctly).
+  *
   * Auth mirrors `handle_auth.go` + `TokenValidationMiddleware`
   * (`api.go:264-296`): Bearer JWT, HS256 only (any other alg rejected),
   * `role` claim required; role "viewer" may only GET; expired tokens
   * (exp claim, seconds) rejected. `jwtKey = None` disables auth (dev
-  * mode). Non-/api paths (/healthz) skip auth like the reference.
+  * mode). Non-/api paths (/healthz) skip auth like the reference; CORS
+  * preflights (OPTIONS) skip auth and reach no mutating handler.
   */
 object AdminHttp {
 
@@ -55,6 +65,17 @@ object AdminHttp {
                                 val detail: String) extends RuntimeException(detail)
   private def fail(status: Int, code: String, detail: String): Nothing =
     throw new HttpError(status, code, detail)
+
+  // db / sid / table / target names are used inside filesystem paths
+  // (s"$targetsRoot/$target") and map entries: anything outside this
+  // pattern (leading dots, slashes, '..') could traverse out of the
+  // targets root — reject it before any side effect
+  private val SafeName = "^[A-Za-z0-9_][A-Za-z0-9_.-]*$".r
+  private def checkName(kind: String, v: String): String = {
+    if (!SafeName.matches(v) || v.contains(".."))
+      fail(400, "bad_name", s"$kind '$v' must match ${SafeName.regex}")
+    v
+  }
 
   // -- JWT (HS256 only; `handle_auth.go:10-28` rejects non-HMAC algs) -----
 
@@ -123,6 +144,7 @@ object AdminHttp {
             sourceSpec: String => Option[TableSpec] = _ => None,
             jwtKey: Option[Array[Byte]] = None,
             port: Int = 0): Server = {
+    val startedAtMs = System.currentTimeMillis()
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     srv.createContext("/", (ex: HttpExchange) => handle(ex))
     srv.start()
@@ -130,9 +152,25 @@ object AdminHttp {
     def respond(ex: HttpExchange, status: Int, body: String): Unit = {
       val b = body.getBytes(UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+      // CORS (the reference serves its UI cross-origin through the same
+      // middleware, api.go CORS handler)
+      ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+      ex.getResponseHeaders.add("Access-Control-Allow-Methods",
+        "GET, POST, PUT, DELETE, OPTIONS")
+      ex.getResponseHeaders.add("Access-Control-Allow-Headers",
+        "Authorization, Content-Type")
       ex.sendResponseHeaders(status, b.length)
       val os = ex.getResponseBody
       try os.write(b) finally os.close()
+    }
+
+    // every response body goes through Jackson — request-supplied strings
+    // (names, error details) must escape, or a quote/backslash in them
+    // yields invalid JSON
+    def obj(fields: (String, Any)*): String = {
+      val m = new java.util.LinkedHashMap[String, Any]()
+      fields.foreach { case (k, v) => m.put(k, v) }
+      mapper.writeValueAsString(m)
     }
 
     // auth gates on the SAME normalized segments the router matches on —
@@ -158,10 +196,26 @@ object AdminHttp {
     def handle(ex: HttpExchange): Unit = {
       try {
         val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
-        authorize(ex, segs)
         val method = ex.getRequestMethod
+        // CORS preflights carry no Authorization header by design; they
+        // also reach no handler with side effects (the OPTIONS arm above)
+        if (method != "OPTIONS") authorize(ex, segs)
         (method, segs) match {
-          case ("GET", List("healthz")) => respond(ex, 200, """{"status":"ok"}""")
+          // CORS preflight (no auth — the browser sends it without headers)
+          case ("OPTIONS", _) => respond(ex, 204, "")
+
+          case ("GET", List("healthz")) => respond(ex, 200, obj("status" -> "ok"))
+
+          // deployment status gate (reference api.go:201-297 serves /api/
+          // behind a status check; here: one cheap liveness+shape summary)
+          case ("GET", List("api", "status")) =>
+            val m = readMap(mapPath)
+            respond(ex, 200, obj(
+              "status" -> "ok",
+              "databases" -> m.databases.size,
+              "urls" -> m.databases.map(_.urls.size).sum,
+              "tables" -> m.databases.map(_.tables.size).sum,
+              "uptime_sec" -> (System.currentTimeMillis() - startedAtMs) / 1000))
 
           case ("GET", List("api", "map")) =>
             respond(ex, 200, mapper.writeValueAsString(readMap(mapPath)))
@@ -170,58 +224,87 @@ object AdminHttp {
               catch { case e: Exception => fail(400, "bad_map", e.getMessage) }
             m.databases.foreach(db => MapConfig.mappings(db)) // mode validation
             editLock.synchronized { writeMap(mapPath, m) }
-            respond(ex, 200, """{"updated":"map"}""")
+            respond(ex, 200, obj("updated" -> "map"))
 
           case ("GET", List("api", "db")) =>
             respond(ex, 200, mapper.writeValueAsString(readMap(mapPath).databases.map(_.name)))
           case ("POST", List("api", "db")) =>
-            val name = Option(body(ex).get("name")).map(_.asText())
-              .filter(_.nonEmpty).getOrElse(fail(400, "bad_db", "missing name"))
+            val name = checkName("db", Option(body(ex).get("name")).map(_.asText())
+              .filter(_.nonEmpty).getOrElse(fail(400, "bad_db", "missing name")))
             editLock.synchronized {
               val m = readMap(mapPath)
               if (m.databases.exists(_.name == name)) fail(409, "exists", name)
               writeMap(mapPath, m.copy(databases = m.databases :+
                 MapConfig.SourceDatabase(name, Nil, Map.empty)))
             }
-            respond(ex, 201, s"""{"created":"$name"}""")
+            respond(ex, 201, obj("created" -> name))
           case ("DELETE", List("api", "db", name)) =>
             editLock.synchronized {
               val m = readMap(mapPath)
               if (!m.databases.exists(_.name == name)) fail(404, "not_found", name)
               writeMap(mapPath, m.copy(databases = m.databases.filterNot(_.name == name)))
             }
-            respond(ex, 200, s"""{"deleted":"$name"}""")
+            respond(ex, 200, obj("deleted" -> name))
 
+          // row-level url reads/updates (reference /api/url/{id} GET/PUT,
+          // handle_url.go): per-entity GET, PUT-for-update of the url
+          case ("GET", List("api", "db", name, "url")) =>
+            val db = readMap(mapPath).databases.find(_.name == name)
+              .getOrElse(fail(404, "not_found", name))
+            respond(ex, 200, mapper.writeValueAsString(db.urls))
+          case ("GET", List("api", "db", name, "url", sid)) =>
+            val db = readMap(mapPath).databases.find(_.name == name)
+              .getOrElse(fail(404, "not_found", name))
+            val u = db.urls.find(_.sid == sid).getOrElse(fail(404, "not_found", sid))
+            respond(ex, 200, mapper.writeValueAsString(u))
           case ("POST", List("api", "db", name, "url")) =>
             val j = body(ex)
             val (url, sid) = (j.path("url").asText(""), j.path("sid").asText(""))
             if (url.isEmpty || sid.isEmpty) fail(400, "bad_url", "need url and sid")
+            checkName("sid", sid)
             editDb(name) { db =>
               if (db.urls.exists(_.sid == sid)) fail(409, "exists", sid)
               db.copy(urls = db.urls :+ MapConfig.UrlEntry(url, sid))
             }
-            respond(ex, 201, s"""{"created":"$sid"}""")
+            respond(ex, 201, obj("created" -> sid))
+          case ("PUT", List("api", "db", name, "url", sid)) =>
+            val url = body(ex).path("url").asText("")
+            if (url.isEmpty) fail(400, "bad_url", "need url")
+            editDb(name) { db =>
+              if (!db.urls.exists(_.sid == sid)) fail(404, "not_found", sid)
+              db.copy(urls = db.urls.map(u =>
+                if (u.sid == sid) MapConfig.UrlEntry(url, sid) else u))
+            }
+            respond(ex, 200, obj("updated" -> sid))
           case ("DELETE", List("api", "db", name, "url", sid)) =>
             editDb(name) { db =>
               if (!db.urls.exists(_.sid == sid)) fail(404, "not_found", sid)
               db.copy(urls = db.urls.filterNot(_.sid == sid))
             }
-            respond(ex, 200, s"""{"deleted":"$sid"}""")
+            respond(ex, 200, obj("deleted" -> sid))
 
           case ("GET", List("api", "db", name, "tbl")) =>
             val db = readMap(mapPath).databases.find(_.name == name)
               .getOrElse(fail(404, "not_found", name))
             respond(ex, 200, mapper.writeValueAsString(db.tables))
+          // per-entity table read (reference /api/map/{id} GET)
+          case ("GET", List("api", "db", name, "tbl", src)) =>
+            val db = readMap(mapPath).databases.find(_.name == name)
+              .getOrElse(fail(404, "not_found", name))
+            val t = db.tables.getOrElse(src, fail(404, "not_found", src))
+            respond(ex, 200, mapper.writeValueAsString(t))
           case ("POST" | "PUT", List("api", "db", name, "tbl", src)) =>
+            checkName("table", src)
             val entry = parseTableEntry(body(ex))
+            entry.target.foreach(checkName("target", _))
             editDb(name)(db => db.copy(tables = db.tables + (src -> entry)))
-            respond(ex, 201, s"""{"created":"$src"}""")
+            respond(ex, 201, obj("created" -> src))
           case ("DELETE", List("api", "db", name, "tbl", src)) =>
             editDb(name) { db =>
               if (!db.tables.contains(src)) fail(404, "not_found", src)
               db.copy(tables = db.tables - src)
             }
-            respond(ex, 200, s"""{"deleted":"$src"}""")
+            respond(ex, 200, obj("deleted" -> src))
 
           // handle_map.go:90-172 — create dest table from the source
           // schema + add the map entry; idempotent on an existing target
@@ -235,7 +318,8 @@ object AdminHttp {
             val mode = q.getOrElse("type", "clone")
             try TableMode.parse(mode)
             catch { case e: IllegalArgumentException => fail(400, "invalid_type", e.getMessage) }
-            val target = q.getOrElse("target", src)
+            checkName("table", src)
+            val target = checkName("target", q.getOrElse("target", src))
             val spec0 = sourceSpec(src).getOrElse(
               fail(404, "unknown_source", s"no source schema for '$src'"))
             val spec =
@@ -255,43 +339,50 @@ object AdminHttp {
                 prev.flatMap(_.signatures))
               db.copy(tables = db.tables + (src -> entry))
             }
-            respond(ex, 201, s"""{"cloned":"$src","target":"$target"}""")
+            respond(ex, 201, obj("cloned" -> src, "target" -> target))
 
           // lake maintenance, serialized on the per-table commit lock so
           // they are safe to invoke while the table's stream is live
           case ("POST", List("api", "table", target, "vacuum")) =>
+            checkName("target", target)
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
             val retain = intParam(ex, "retain", default = 2, min = 1)
             val (manifests, files) = CdcStream.lockFor(root).synchronized {
               LakeTable.load(spark, root).vacuum(retainVersions = retain)
             }
-            respond(ex, 200,
-              s"""{"vacuumed":"$target","expired_manifests":$manifests,"deleted_files":$files}""")
+            respond(ex, 200, obj("vacuumed" -> target,
+              "expired_manifests" -> manifests, "deleted_files" -> files))
           case ("POST", List("api", "table", target, "compact")) =>
+            checkName("target", target)
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
             val cap = intParam(ex, "max_files_per_bucket", default = 8, min = 1)
             val buckets = CdcStream.lockFor(root).synchronized {
               LakeTable.load(spark, root).compact(maxFilesPerBucket = cap)
             }
-            respond(ex, 200,
-              s"""{"compacted":"$target","buckets":$buckets}""")
+            respond(ex, 200, obj("compacted" -> target, "buckets" -> buckets))
 
           // the restart channel analog: bump the map mtime so the watcher
-          // stops/rebuilds/resumes the streams (handle_url.go:242-245)
+          // stops/rebuilds/resumes the streams (handle_url.go:242-245).
+          // max(now, mtime+1ms): on coarse-mtime filesystems a restart
+          // within the same tick would otherwise be invisible to the
+          // mtime-polling watcher
           case ("POST", List("api", "restart")) =>
+            val next = math.max(System.currentTimeMillis(),
+              Files.getLastModifiedTime(mapPath).toMillis + 1)
             Files.setLastModifiedTime(mapPath,
-              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-            respond(ex, 200, """{"restarted":true}""")
+              java.nio.file.attribute.FileTime.fromMillis(next))
+            respond(ex, 200, obj("restarted" -> true))
 
           case _ => fail(404, "not_found", ex.getRequestURI.getPath)
         }
       } catch {
         case e: HttpError =>
-          respond(ex, e.status, s"""{"error":"${e.code}","detail":"${e.detail.replace("\"", "'")}"}""")
+          respond(ex, e.status, obj("error" -> e.code, "detail" -> e.detail))
         case e: Exception =>
-          respond(ex, 500, s"""{"error":"internal","detail":"${String.valueOf(e.getMessage).replace("\"", "'")}"}""")
+          respond(ex, 500, obj("error" -> "internal",
+            "detail" -> String.valueOf(e.getMessage)))
       }
     }
 

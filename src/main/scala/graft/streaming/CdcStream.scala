@@ -48,16 +48,19 @@ object CdcStream {
     *                    same batch after the main merge; it keeps its own
     *                    epoch on its own snapshot, so a crash between the
     *                    two commits replays only the missing half
-    * @param lsnFloor    drop events with lsn <= this before applying
-    *                    (anomaly healing: a lost checkpoint replays the
-    *                    whole WAL, and the floor — the table's recorded
-    *                    applied watermark — turns that into a zone-pruned
-    *                    catch-up instead of a duplicate apply); -1 = off */
+    * @param ordFloor    drop events at or below this applied position
+    *                    ((lsn << 20) | (seq << 1) | 1 — Replay.eventOrdCol)
+    *                    before applying (anomaly healing: a lost checkpoint
+    *                    replays the whole WAL, and the floor — the table's
+    *                    recorded event-granular applied watermark — turns
+    *                    that into a zone-pruned catch-up instead of a
+    *                    duplicate apply; event granularity because one lsn's
+    *                    events can straddle a batch boundary); -1 = off */
   final case class Route(mapping: TableMapping, lake: LakeTable,
                          sidOverride: Option[String] = None,
                          epochKey: String = "commit-epoch",
                          signatures: Option[SignatureSink] = None,
-                         lsnFloor: Long = -1L)
+                         ordFloor: Long = -1L)
 
   /** One lock per table root: cross-stream applies to one lake serialize
     * (single-writer commit protocol; see class doc). Shared with the
@@ -86,13 +89,19 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         routes.foreach { r =>
-          // lsn floor as a Column predicate: it reaches the parquet scan as
-          // a pushed filter, so a healing catch-up replay reads only the
-          // row groups past the applied watermark
+          // (lsn, seq) floor as a Column predicate tree — Or(Gt(lsn),
+          // And(Eq(lsn), Gt(seq))) pushes down to the parquet scan, so a
+          // healing catch-up replay reads only the row groups past the
+          // applied watermark; the seq leg keeps the remainder of a
+          // batch-boundary-straddling lsn (row-loss fix)
           val floored =
-            if (r.lsnFloor >= 0L)
-              df.filter(org.apache.spark.sql.functions.col("lsn") > r.lsnFloor)
-            else df
+            if (r.ordFloor >= 0L) {
+              import org.apache.spark.sql.functions.col
+              val fLsn = r.ordFloor >> 20
+              val fSeq = (r.ordFloor >> 1) & ((1L << 19) - 1)
+              df.filter(col("lsn") > fLsn ||
+                (col("lsn") === fLsn && col("seq") > fSeq))
+            } else df
           val events = (r.sidOverride match {
             case Some(s) => floored.withColumn("sid", lit(s))
             case None => floored

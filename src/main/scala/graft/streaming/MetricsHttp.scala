@@ -99,6 +99,24 @@ object MetricsHttp {
     }
     progress.foreach(p =>
       sb.append(s"graft_stream_batches_total ${p.batches.get()}\n"))
+    // candidate-volume telemetry from the bucketed dedup/ANN operators
+    // (Similarity.observeCandidates registry) — the 100 TB quadratic-blowup
+    // alarm, scrapeable instead of stderr-only
+    val occ = graft.operators.Similarity.observedOps.toSeq.sorted
+    if (occ.nonEmpty) {
+      sb.append("# TYPE graft_candidate_pairs gauge\n")
+      sb.append("# TYPE graft_colliding_buckets gauge\n")
+      sb.append("# TYPE graft_bucket_max_occupancy_bound gauge\n")
+      occ.foreach { op =>
+        graft.operators.Similarity.lastCandidateStats(op).foreach { s =>
+          val l = Seq("op" -> op)
+          mkLine(sb)("graft_candidate_pairs", l, s.candidatePairs.toString)
+          mkLine(sb)("graft_colliding_buckets", l, s.collidingBuckets.toString)
+          mkLine(sb)("graft_bucket_max_occupancy_bound", l,
+            s.maxOccupancyBound.toString)
+        }
+      }
+    }
     sb.toString
   }
 

@@ -177,27 +177,38 @@ object Orchestrator {
         // will replay the whole WAL with batch ids restarting at 0, which
         // the committed epoch would otherwise skip wholesale — data loss.
         // Rebase instead: epoch back to -1 so replayed batches apply, and
-        // an lsn floor at the table's per-sid applied watermark (lineage)
-        // so the catch-up replay skips everything already applied — a
-        // zone-pruned resume, NOT a duplicate full sync (the full-sync-*
-        // property survives, so backfill does not rerun). The floor is
-        // committed ATOMICALLY with the epoch rebase as a lake property
-        // (`heal-floor-<epochKey>`) and re-read on EVERY start — a crash
-        // mid-catch-up (checkpoint exists again, heal branch skipped) must
-        // still replay behind the floor, or pre-floor events would apply a
-        // second time. The floor is permanent-safe: lsn is monotone and
-        // everything at or below it is already applied.
+        // a floor at the table's per-sid applied watermark so the catch-up
+        // replay skips everything already applied — a zone-pruned resume,
+        // NOT a duplicate full sync (the full-sync-* property survives, so
+        // backfill does not rerun). The floor is EVENT-granular — the
+        // `applied-ord-<sid>` property ((lsn << 20) | (seq << 1) | 1,
+        // Replay.eventOrdCol): multiple events share one lsn, and a batch
+        // boundary can split one lsn's events across WAL segments, so an
+        // lsn-granular floor would silently drop the unapplied remainder.
+        // Tables written before the property existed fall back to the
+        // lineage maxLsn rendered as an ord covering ALL of that lsn's
+        // seqs (the old, coarser behavior). The floor is committed
+        // ATOMICALLY with the epoch rebase as a lake property
+        // (`heal-floor-<epochKey>`, value = ord) and re-read on EVERY
+        // start — a crash mid-catch-up (checkpoint exists again, heal
+        // branch skipped) must still replay behind the floor, or pre-floor
+        // events would apply a second time. The floor is permanent-safe:
+        // (lsn, seq) is monotone and everything at or below it is applied.
         val healedRoutes = routes.map { r =>
           CdcStream.lockFor(r.lake.root).synchronized {
             val floorKey = s"heal-floor-${r.epochKey}"
             val snap = r.lake.snapshot()
             if (!java.nio.file.Files.isDirectory(ckptDir) &&
                 snap.properties.getOrElse(r.epochKey, "-1").toLong >= 0) {
-              val floor = snap.lineage.filter(_.sid == u.sid)
-                .map(_.maxLsn).maxOption.getOrElse(-1L)
+              val floor = snap.properties.get(s"applied-ord-${u.sid}")
+                .map(_.toLong).getOrElse {
+                  snap.lineage.filter(_.sid == u.sid)
+                    .map(_.maxLsn).maxOption.filter(_ >= 0)
+                    .map(l => (l << 20) | ((1L << 20) - 1)).getOrElse(-1L)
+                }
               System.err.println(s"[orchestrator] checkpoint $ckptDir " +
                 s"missing for applied table ${r.mapping.target} — " +
-                s"rebasing epoch and resuming from lsn > $floor")
+                s"rebasing epoch and resuming from (lsn,seq) ord > $floor")
               r.lake.commit(Nil, Set.empty,
                 properties = Map(r.epochKey -> "-1", floorKey -> floor.toString))
             }
@@ -216,7 +227,7 @@ object Orchestrator {
                     properties = Map(r.epochKey -> de.toString))
               }
             }
-            r.copy(lsnFloor = props.getOrElse(floorKey, "-1").toLong)
+            r.copy(ordFloor = props.getOrElse(floorKey, "-1").toLong)
           }
         }
         // record the targets this checkpoint routes to (vanished-target
@@ -293,6 +304,29 @@ object Orchestrator {
     * committed — no duplicates, no loss. An ADDED table full-syncs once
     * (per-(table, sid) property); a REMOVED table stops being routed but
     * its target is kept. */
+  /** Everything [[start]] (boot) can reject for map-reachable reasons,
+    * checked WITHOUT side effects: parse + mode validation, a TableSpec for
+    * every target, and the signature-sink preconditions (not history, has a
+    * text column). The continuous watcher runs this BEFORE stopping the
+    * live streams — a map edit that parses but cannot boot (e.g. an admin
+    * table-add naming an unknown target) must not take the deployment down
+    * into a stop/retry loop. Throws with the offending detail. */
+  private[streaming] def validateBootable(dbMap: MapConfig.DbMap,
+                                          specs: Map[String, TableSpec],
+                                          textCol: String = "text"): Unit =
+    dbMap.databases.foreach { db =>
+      MapConfig.mappings(db).foreach { m =>
+        val spec = specs.getOrElse(m.target, throw new IllegalArgumentException(
+          s"no TableSpec for target '${m.target}' (database '${db.name}')"))
+        if (db.tables.get(m.sourceTable).flatMap(_.signatures).contains(true)) {
+          require(m.mode != TableMode.History,
+            s"'signatures' is not supported for history table '${m.sourceTable}'")
+          require(spec.schema.fieldNames.contains(textCol),
+            s"'signatures' requires a '$textCol' column on target '${m.target}'")
+        }
+      }
+    }
+
   def runContinuous(spark: SparkSession, mapPath: String, targetsRoot: String,
                     specs: Map[String, TableSpec], checkpointRoot: String,
                     backfill: (String, String) => Option[DataFrame] = (_, _) => None,
@@ -315,13 +349,15 @@ object Orchestrator {
         val mt = try mtime catch { case _: java.io.IOException => last }
         if (mt != last && !stopFlag.get()) {
           last = mt
-          // validate BEFORE stopping anything: a half-written or invalid
-          // map file must never take a running deployment down
+          // validate BEFORE stopping anything — parse AND boot
+          // preconditions (spec presence, signature requirements): a
+          // half-written, invalid, or unbootable map file must never take
+          // a running deployment down into a stop/retry-forever loop
           val valid =
-            try { MapConfig.load(mapPath).databases.foreach(MapConfig.mappings); true }
+            try { validateBootable(MapConfig.load(mapPath), specs); true }
             catch { case e: Exception =>
               System.err.println("[orchestrator] changed map file is " +
-                s"invalid — keeping current streams: ${e.getMessage}")
+                s"invalid or unbootable — keeping current streams: ${e.getMessage}")
               false
             }
           if (valid) {

@@ -206,6 +206,75 @@ class AdminHttpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("row-level parity: per-entity GET/PUT, /api/status, CORS") {
+    val mapPath = freshMap("adminrow")
+    val srv = AdminHttp.start(spark, mapPath, s"${mapPath.getParent}/targets")
+    try {
+      val p = srv.port
+      // per-entity reads (reference /api/url/{id}, /api/map/{id})
+      val u = req(p, "GET", "/api/db/app/url/s0")
+      assert(u.statusCode() == 200 && u.body().contains("wal/seg-*"), u.body())
+      assert(req(p, "GET", "/api/db/app/url").body().contains("s0"))
+      assert(req(p, "GET", "/api/db/app/url/nope").statusCode() == 404)
+      val t = req(p, "GET", "/api/db/app/tbl/transcripts")
+      assert(t.statusCode() == 200 && t.body().contains("clone"), t.body())
+      assert(req(p, "GET", "/api/db/app/tbl/nope").statusCode() == 404)
+      // PUT-for-update of a url (runtime URL change, handle_url.go)
+      assert(req(p, "PUT", "/api/db/app/url/s0",
+        """{"url":"wal-moved/seg-*"}""").statusCode() == 200)
+      assert(MapConfig.load(mapPath.toString).databases.head.urls ==
+        Seq(MapConfig.UrlEntry("wal-moved/seg-*", "s0")))
+      assert(req(p, "PUT", "/api/db/app/url/nope", """{"url":"x"}""")
+        .statusCode() == 404)
+      // /api/status summary
+      val st = req(p, "GET", "/api/status")
+      assert(st.statusCode() == 200 &&
+        st.body().contains("\"databases\":1") &&
+        st.body().contains("\"tables\":1"), st.body())
+      // CORS: headers on responses; OPTIONS preflight passes without auth
+      assert(st.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "*")
+      assert(req(p, "OPTIONS", "/api/map").statusCode() == 204)
+    } finally srv.stop()
+  }
+
+  test("hardening: path traversal rejected, JSON responses escape, restart mtime monotone") {
+    val mapPath = freshMap("adminhard")
+    val targets = s"${mapPath.getParent}/targets"
+    val srv = AdminHttp.start(spark, mapPath, targets,
+      sourceSpec = _ => Some(Transcripts.spec(numBuckets = 4)))
+    try {
+      val p = srv.port
+      // traversal attempts in every path-bearing name: 400, no side effect
+      val enc = java.net.URLEncoder.encode("../../evil", "UTF-8")
+      assert(req(p, "POST", s"/api/tbl/src1/clone?db=app&target=$enc")
+        .statusCode() == 400)
+      assert(!Files.exists(Paths.get(s"${mapPath.getParent}/evil")) &&
+        !Files.exists(Paths.get(s"$targets/../../evil")),
+        "a traversal target must never be created")
+      assert(req(p, "POST", "/api/db", s"""{"name":"${"a/b"}"}""")
+        .statusCode() == 400)
+      assert(req(p, "POST", "/api/db/app/tbl/..",
+        """{"type":"clone"}""").statusCode() == 400)
+      assert(req(p, "POST", "/api/db/app/url",
+        """{"url":"w","sid":"../x"}""").statusCode() == 400)
+      // JSON escaping: a detail carrying quotes/backslashes still parses
+      val bad = req(p, "POST", "/api/db", """{"name":"a\"b\\c"}""")
+      assert(bad.statusCode() == 400)
+      val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bad.body())
+      assert(parsed.get("error") != null, s"body must be valid JSON: ${bad.body()}")
+      // restart bumps mtime STRICTLY even within one clock tick
+      val mt0 = Files.getLastModifiedTime(mapPath).toMillis
+      assert(req(p, "POST", "/api/restart").statusCode() == 200)
+      val mt1 = Files.getLastModifiedTime(mapPath).toMillis
+      assert(req(p, "POST", "/api/restart").statusCode() == 200)
+      val mt2 = Files.getLastModifiedTime(mapPath).toMillis
+      assert(mt1 > mt0 && mt2 > mt1,
+        s"restart mtime must strictly increase: $mt0 -> $mt1 -> $mt2")
+    } finally srv.stop()
+  }
+
   test("JWT auth: HS256 only, role enforcement, expiry") {
     val mapPath = freshMap("adminjwt")
     val key = "graft-test-secret".getBytes("UTF-8")

@@ -46,18 +46,41 @@ class KnobsSpec extends AnyFunSuite {
   }
 
   test("occupancy telemetry is always on, queryable, and bounds candidates") {
-    // building the operator records its histogram (no env flag needed)
-    val pairs = Similarity.cosineDedup(spark, sf)
-    val rec = Similarity.lastOccupancy("embed_cosine_dedup")
-      .getOrElse(fail("embed_cosine_dedup must record occupancy telemetry"))
-    assert(rec.buckets > 0)
-    assert(pairs.count() <= rec.candidatePairs,
+    // the telemetry rides the operator's own candidate join (CollectMetrics
+    // observation, harvested async by a QueryExecutionListener) — running
+    // the operator's action records it; no env flag, no extra job
+    def awaitStats(op: String): Similarity.CandidateStats = {
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var s = Similarity.lastCandidateStats(op)
+      while (s.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); s = Similarity.lastCandidateStats(op)
+      }
+      s.getOrElse(fail(s"$op must record candidate-volume telemetry"))
+    }
+    val nPairs = Similarity.cosineDedup(spark, sf).count()
+    val rec = awaitStats("embed_cosine_dedup")
+    assert(rec.collidingBuckets > 0)
+    assert(nPairs <= rec.candidatePairs,
       s"verified pairs must be bounded by the recorded candidate volume $rec")
+    // the derived occupancy bound is consistent with the exact histogram
+    import org.apache.spark.sql.functions._
+    val e = Similarity.embeddings(spark, sf)
+      .select(col("vec_id"),
+        Similarity.signature(
+          transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")),
+          Similarity.DedupPlanes).as("sig"))
+    val banded = e.select(col("vec_id"), posexplode(
+      array((0 until Similarity.DedupBands).map(b =>
+        shiftright(col("sig"), b * Similarity.BandBits) % (1 << Similarity.BandBits)): _*))
+      .as(Seq("band", "bk")))
+    val exact = Similarity.occupancy(banded, Seq("band", "bk"))
+    assert(rec.candidatePairs == exact.candidatePairs,
+      s"observed join volume must equal the exact histogram's pair volume")
+    assert(rec.maxOccupancyBound >= exact.maxOccupancy)
 
-    val mh = TextPipeline.dedupMinhashLsh(spark, sf)
-    val mhRec = Similarity.lastOccupancy("dedup_minhash_lsh")
-      .getOrElse(fail("dedup_minhash_lsh must record occupancy telemetry"))
-    assert(mh.count() <= mhRec.candidatePairs)
+    val mhPairs = TextPipeline.dedupMinhashLsh(spark, sf).count()
+    val mhRec = awaitStats("dedup_minhash_lsh")
+    assert(mhPairs <= mhRec.candidatePairs)
   }
 
   test("annLsh planes knob changes the bucketing and bounds occupancy") {

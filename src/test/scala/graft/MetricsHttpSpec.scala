@@ -52,6 +52,31 @@ class MetricsHttpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("candidate-volume telemetry registry is scrapeable") {
+    // run one bucketed operator so its observation lands in the registry
+    // (harvested async by the QueryExecutionListener — poll briefly)
+    operators.Similarity.cosineDedup(spark, "/root/testdata/sf0.001").count()
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (operators.Similarity.lastCandidateStats("embed_cosine_dedup").isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    val stats = operators.Similarity.lastCandidateStats("embed_cosine_dedup")
+      .getOrElse(fail("telemetry must record"))
+    val srv = MetricsHttp.start(spark, Map.empty)
+    try {
+      val body = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${srv.port}/metrics")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains(
+        s"""graft_candidate_pairs{op="embed_cosine_dedup"} ${stats.candidatePairs}"""),
+        s"body:\n$body")
+      assert(body.contains(
+        s"""graft_bucket_max_occupancy_bound{op="embed_cosine_dedup"} ${stats.maxOccupancyBound}"""))
+      assert(body.contains(
+        s"""graft_colliding_buckets{op="embed_cosine_dedup"} ${stats.collidingBuckets}"""))
+    } finally srv.stop()
+  }
+
   test("unreadable table renders a scrape error, not a failed scrape") {
     val srv = MetricsHttp.start(spark, Map("ghost" -> "/nonexistent/lake"))
     try {

@@ -378,6 +378,49 @@ class OrchestratorSpec extends AnyFunSuite {
       "pre-floor lsns must stay filtered on every start (persisted floor)")
   }
 
+  test("heal floor is (lsn, seq)-granular: one lsn straddling the applied " +
+    "boundary loses no rows") {
+    // multiple events share one lsn (seq orders them); if the applied
+    // watermark covers (lsn=100, seq=0) only, a post-heal replay must still
+    // apply (lsn=100, seq=1) — an lsn-granular floor would drop it
+    val dir = SparkTestBase.tmpDir("orchseqfloor")
+    def ev(lsn: Long, seq: Int, conv: String) =
+      graft.model.ChangeEvent(lsn, seq, "I", "transcripts", "s0", "none",
+        Map.empty, Map("conv_id" -> conv, "turn_idx" -> "0",
+          "role" -> "user", "text" -> s"$conv text"))
+    Seq(ev(100L, 0, "half1")).toDS().toDF().coalesce(1)
+      .write.parquet(s"$dir/wal/seg-00000")
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"transcripts":{"type":"clone","target":"transcripts"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("transcripts" -> Transcripts.spec(numBuckets = 4))
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
+    val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+    assert(lake.snapshot().properties.get("applied-ord-s0")
+      .contains(((100L << 20) | 1L).toString),
+      "applied-ord must record the event-granular watermark")
+
+    // checkpoint lost; the SAME lsn's remaining seq arrives in a new segment
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+    Seq(ev(100L, 1, "half2")).toDS().toDF().coalesce(1)
+      .write.parquet(s"$dir/wal/seg-00001")
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
+    val convs = LakeTable.load(spark, s"$dir/targets/transcripts")
+      .read().select("conv_id").collect().map(_.getString(0)).toSeq.sorted
+    assert(convs == Seq("half1", "half2"),
+      s"the straddling lsn's second half must apply exactly once: $convs")
+    // the op counters prove half1 did NOT re-apply (2 inserts total)
+    assert(LakeTable.load(spark, s"$dir/targets/transcripts")
+      .snapshot().properties("metrics-ops-I") == "2")
+  }
+
   test("live reload under a processing-time trigger: map change mid-stream, " +
     "no duplicates, no loss, added table syncs once") {
     val dir = SparkTestBase.tmpDir("orchlive")
@@ -428,6 +471,16 @@ class OrchestratorSpec extends AnyFunSuite {
       Thread.sleep(800) // give the watcher a few ticks on the bad file
       assert(h.current.forall(_.query.isActive),
         "streams must keep running across an invalid map edit")
+
+      // a map that PARSES but cannot boot (unknown target: no TableSpec)
+      // must also be rejected BEFORE anything stops — otherwise the watcher
+      // stops the streams and retry-loops forever on the broken map
+      Files.writeString(Paths.get(s"$dir/map.json"), mapJson(
+        """"t1":{"type":"clone","target":"t1"},
+          |            "ghost":{"type":"clone","target":"ghost"}""".stripMargin))
+      Thread.sleep(800)
+      assert(h.current.forall(_.query.isActive),
+        "streams must keep running across an unbootable map edit")
 
       // reload mid-stream: the map gains t2 — no drain boundary
       Files.writeString(Paths.get(s"$dir/map.json"), mapJson(

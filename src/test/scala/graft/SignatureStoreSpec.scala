@@ -209,6 +209,38 @@ class SignatureStoreSpec extends AnyFunSuite {
         s"streamed batch (2): ${sigRows(sig).keySet}")
   }
 
+  test("narrow-key batches zone-prune the signature merge; cap self-compacts") {
+    val dir = SparkTestBase.tmpDir("sigzone")
+    val docs = LakeTable.create(spark, s"$dir/docs", docSpec)
+    // ONE bucket so every batch touches it: zone pruning (not bucket
+    // pruning) must be what keeps earlier files un-rewritten
+    val sig = LakeTable.create(spark, s"$dir/sigs",
+      SignatureStore.spec(numBuckets = 1))
+    def apply(b: Long, ids: Seq[Long]): Unit = {
+      val evs = ids.map(id => iEv(b * 1000 + id, id,
+        (0 until 15).map(j => s"t$id-$j").mkString(" ")))
+      graft.operators.Replay.applyBatch(docs, evs.toDS(), mapping, b)
+      SignatureStore.applyBatch(sig, evs.toDS(), mapping, docs, batchId = b)
+    }
+    // 9 disjoint narrow batches (3-digit ids keep string zones disjoint)
+    (1 to 9).foreach(b => apply(b, (0 until 6).map(i => b * 100L + 10 + i)))
+    val files9 = sig.snapshot().files.map(_.path)
+    assert(files9.size == 9,
+      s"each narrow batch must rewrite ONLY its own key range (zone " +
+        s"pruning): expected 9 one-file-per-batch, got ${files9.size}")
+    // default GRAFT_COMPACT_FILE_CAP = 8: the bucket is now past the cap,
+    // so the next merge disables its zone pruning and rewrites the whole
+    // bucket into O(1) files — inline self-compaction
+    apply(10, (0 until 6).map(i => 1010L + i))
+    val filesAfter = sig.snapshot().files
+    assert(filesAfter.size <= 2,
+      s"over-cap bucket must self-compact: ${filesAfter.size} files")
+    // no loss through the whole sequence
+    val rows = sigRows(sig)
+    assert(rows.keySet.size == 60)
+    assert(rows.values.forall(_._1 != null), "every doc re-signed correctly")
+  }
+
   test("streamed ingest + incremental dedup == whole-corpus LSH on (corpus, delta)") {
     val dir = SparkTestBase.tmpDir("sigstream")
     val base = (0 until 100).map(i => s"tok$i").mkString(" ")

@@ -41,6 +41,27 @@ class VectorExprsSpec extends AnyFunSuite {
     // intermediate < 2^36, far inside the contract.
   }
 
+  test("mismatched lengths yield NULL (HOF parity), not a truncated fold") {
+    // zip_with null-pads the shorter side and the sum null-propagates; the
+    // kernel must agree so a dimension bug is a visible NULL, not a
+    // plausible-but-wrong number — both interpreted and codegen paths
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (2L, Seq(1L), Seq(2L, 3L, 4L)),
+      (3L, Seq(1L, 2L), Seq(3L, 4L)))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      VectorExprs.dotL(col("a"), col("b")).as("d"),
+      VectorExprs.sqDistL(col("a"), col("b")).as("s"),
+      hofDot(col("a"), col("b")).as("hd"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == Seq((1L, null, null, null), (2L, null, null, null),
+      (3L, 11L, 8L, 11L)), s"got $got")
+  }
+
   test("the kernels stay inside whole-stage codegen (no fallback)") {
     // arrays built with CreateArray (codegen-friendly — a `transform` HOF
     // in the same Project would itself force interpreted evaluation, which
