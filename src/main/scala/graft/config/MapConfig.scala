@@ -29,7 +29,13 @@ import java.nio.file.{Files, Paths}
   */
 object MapConfig {
 
-  final case class UrlEntry(url: String, sid: String)
+  /** @param format event-log encoding at `url`: "parquet" (default — the
+    *               WAL-shaped parquet event log) or "pgoutput"
+    *               (self-contained pgoutput chunk files, decoded by
+    *               graft.sources.PgOutput — the logical-replication wire
+    *               path). */
+  final case class UrlEntry(url: String, sid: String,
+                            format: Option[String] = None)
   /** @param signatures true = maintain a companion near-dup signatures
     *                   lake table per applied micro-batch (SignatureStore;
     *                   clone/append modes only). The orchestrator places

@@ -1,0 +1,168 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import graft.model.TableSpec
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.{Files, Paths}
+
+/** Layered process configuration — the analog of the reference's config
+  * loader (`streamer/config.go:111-188`: TOML file + environment + flags
+  * merged with precedence). Here the layers are, lowest to highest:
+  *
+  *   defaults  <  JSON settings file (`--config <path>`)
+  *             <  environment (`GRAFT_<UPPER_SNAKE_KEY>`)
+  *             <  CLI flags (`--kebab-key=value` or `--kebab-key value`)
+  *
+  * Settings-file keys are snake_case; the same key spells
+  * `GRAFT_MAP_FILE` in the environment and `--map-file` on the command
+  * line. Unknown flags and file keys fail loudly (a typo must not
+  * silently fall back to a default). The MAP file named here is separate
+  * and stays live-reloadable (Orchestrator watches its mtime); the
+  * process config itself is boot-time, like the reference's flag layer.
+  */
+final case class ProcessConfig(
+    mapFile: String = "map.json",
+    targetsRoot: String = "targets",
+    checkpointRoot: String = "checkpoints",
+    specsFile: Option[String] = None,
+    adminPort: Int = -1, // -1 = admin API off; 0 = ephemeral
+    metricsPort: Int = -1, // -1 = metrics endpoint off; 0 = ephemeral
+    jwtKey: Option[String] = None, // admin auth secret; None = dev mode
+    master: String = "local[*]",
+    shufflePartitions: Int = 32,
+    salts: Int = 0,
+    maxFilesPerTrigger: Int = 1,
+    triggerMs: Long = 250L,
+    drain: Boolean = false) // true = drain available WAL once and exit
+
+object ProcessConfig {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private val keys = Seq("map_file", "targets_root", "checkpoint_root",
+    "specs_file", "admin_port", "metrics_port", "jwt_key", "master",
+    "shuffle_partitions", "salts", "max_files_per_trigger", "trigger_ms",
+    "drain")
+
+  /** Resolve the config from `args` + `env` (+ the settings file named by
+    * `--config`/GRAFT_CONFIG, if any). */
+  def resolve(args: Seq[String],
+              env: Map[String, String] = sys.env): ProcessConfig = {
+    // --k=v and --k v forms; later flags win
+    val flags = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--"))
+        throw new IllegalArgumentException(s"unexpected argument '$a'")
+      val (k, v) = a.indexOf('=') match {
+        case -1 =>
+          if (i + 1 >= args.length)
+            throw new IllegalArgumentException(s"flag '$a' needs a value")
+          i += 1
+          (a.drop(2), args(i))
+        case eq => (a.substring(2, eq), a.substring(eq + 1))
+      }
+      val snake = k.replace('-', '_')
+      if (snake != "config" && !keys.contains(snake))
+        throw new IllegalArgumentException(s"unknown flag '--$k'")
+      flags(snake) = v
+      i += 1
+    }
+
+    val fileVals: Map[String, String] =
+      flags.get("config").orElse(env.get("GRAFT_CONFIG")) match {
+        case None => Map.empty
+        case Some(path) =>
+          val node = mapper.readTree(Files.readString(Paths.get(path)))
+          val it = node.properties().iterator()
+          val out = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            if (!keys.contains(e.getKey))
+              throw new IllegalArgumentException(
+                s"unknown settings key '${e.getKey}' in $path")
+            out += e.getKey -> e.getValue.asText()
+          }
+          out.result()
+      }
+
+    def get(key: String): Option[String] =
+      flags.get(key)
+        .orElse(env.get("GRAFT_" + key.toUpperCase))
+        .orElse(fileVals.get(key))
+    def str(key: String, d: String): String = get(key).getOrElse(d)
+    def opt(key: String): Option[String] = get(key).filter(_.nonEmpty)
+    def int(key: String, d: Int): Int = get(key).map(_.toInt).getOrElse(d)
+    def bool(key: String, d: Boolean): Boolean =
+      get(key).map(_.toBoolean).getOrElse(d)
+
+    val dflt = ProcessConfig()
+    ProcessConfig(
+      mapFile = str("map_file", dflt.mapFile),
+      targetsRoot = str("targets_root", dflt.targetsRoot),
+      checkpointRoot = str("checkpoint_root", dflt.checkpointRoot),
+      specsFile = opt("specs_file"),
+      adminPort = int("admin_port", dflt.adminPort),
+      metricsPort = int("metrics_port", dflt.metricsPort),
+      jwtKey = opt("jwt_key"),
+      master = str("master", dflt.master),
+      shufflePartitions = int("shuffle_partitions", dflt.shufflePartitions),
+      salts = int("salts", dflt.salts),
+      maxFilesPerTrigger = int("max_files_per_trigger", dflt.maxFilesPerTrigger),
+      triggerMs = get("trigger_ms").map(_.toLong).getOrElse(dflt.triggerMs),
+      drain = bool("drain", dflt.drain))
+  }
+
+  /** Load target TableSpecs from a specs file — the declarative schema
+    * source for targets that do not exist yet (existing lake tables carry
+    * their own spec; the admin clone endpoint derives specs from source
+    * schemas). Format, one entry per target name:
+    * {{{
+    * { "transcripts": { "ddl": "conv_id string, turn_idx int, text string",
+    *                    "keys": ["conv_id", "turn_idx"],
+    *                    "buckets": ["conv_id"],      // default: keys
+    *                    "num_buckets": 64,            // default: 16
+    *                    "sid": true } }               // default: false
+    * }}} */
+  def loadSpecs(path: String): Map[String, TableSpec] = {
+    val node = mapper.readTree(Files.readString(Paths.get(path)))
+    val out = Map.newBuilder[String, TableSpec]
+    val it = node.properties().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val name = e.getKey
+      val v: JsonNode = e.getValue
+      def strs(field: String): Seq[String] = {
+        val n = v.get(field)
+        if (n == null) Nil
+        else {
+          val b = Seq.newBuilder[String]
+          n.forEach(x => b += x.asText())
+          b.result()
+        }
+      }
+      val ddl = Option(v.get("ddl")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException(s"spec '$name' needs \"ddl\""))
+      val keysCols = strs("keys")
+      require(keysCols.nonEmpty, s"spec '$name' needs non-empty \"keys\"")
+      val buckets = { val b = strs("buckets"); if (b.isEmpty) keysCols else b }
+      val hasSid = Option(v.get("sid")).exists(_.asBoolean())
+      val payload = StructType.fromDDL(ddl)
+      // sid tables physically store the tenant column; prepend it so the
+      // ddl stays the payload shape (the orchestrator stamps the value)
+      val schema =
+        if (hasSid && !payload.fieldNames.contains("sid"))
+          StructType(org.apache.spark.sql.types.StructField("sid",
+            org.apache.spark.sql.types.StringType, nullable = true) +: payload.fields)
+        else payload
+      out += name -> TableSpec(name, schema,
+        keyCols = keysCols, bucketCols = buckets,
+        numBuckets = Option(v.get("num_buckets")).map(_.asInt()).getOrElse(16),
+        hasSid = hasSid)
+    }
+    out.result()
+  }
+}

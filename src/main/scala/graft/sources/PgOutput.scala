@@ -202,6 +202,29 @@ object PgOutput {
       .flatMap { case (_, bytes) => decodeChunk(bytes, sid) }
   }
 
+  /** Streaming twin of [[readChunks]] for CdcStream: the binaryFile file
+    * source enumerates chunk files exactly like the parquet event log
+    * (checkpoint offset = files consumed = the slot ack), each file decodes
+    * as one self-contained unit, and maxFilesPerTrigger is the same
+    * batching knob. The sid is left empty — the orchestrator stamps the
+    * config-assigned sid per route (it is not wire data). */
+  def readChunksStream(spark: SparkSession, glob: String,
+                       maxFilesPerTrigger: Int = 1): Dataset[ChangeEvent] = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // binaryFile's fixed schema, spelled out: the streaming source requires
+    // an explicit schema (no inference pass over existing files)
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(glob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => decodeChunk(bytes, "") }
+  }
+
   // ---------------------------------------------------------------------
   // Wire writer — the test/tooling half: builds byte-exact pgoutput
   // messages (the same layout Postgres emits), so the decoder is exercised

@@ -71,18 +71,31 @@ object CdcStream {
   private[streaming] def lockFor(root: String): Object =
     tableLocks.computeIfAbsent(root, _ => new Object)
 
+  /** @param format "parquet" (WAL-shaped parquet event log, default) or
+    *               "pgoutput" (self-contained pgoutput chunk files decoded
+    *               by graft.sources.PgOutput — same checkpoint-as-ack
+    *               contract, each chunk file is one source unit) */
   def start(spark: SparkSession,
             eventLogGlob: String,
             checkpointDir: String,
             routes: Seq[Route],
             salts: Int = 0,
             maxFilesPerTrigger: Int = 1,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            format: String = "parquet"): StreamingQuery = {
     import spark.implicits._
-    val src = spark.readStream
-      .schema(ChangeEvent.schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventLogGlob)
+    val src = format match {
+      case "parquet" =>
+        spark.readStream
+          .schema(ChangeEvent.schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(eventLogGlob)
+      case "pgoutput" =>
+        graft.sources.PgOutput.readChunksStream(spark, eventLogGlob,
+          maxFilesPerTrigger).toDF()
+      case other =>
+        throw new IllegalArgumentException(s"unknown event-log format '$other'")
+    }
 
     src.writeStream
       .option("checkpointLocation", checkpointDir)

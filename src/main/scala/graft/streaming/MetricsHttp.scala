@@ -125,11 +125,20 @@ object MetricsHttp {
   def start(spark: org.apache.spark.sql.SparkSession,
             tables: Map[String, String],
             port: Int = 0,
-            progress: Option[ProgressLog] = None): Server = {
+            progress: Option[ProgressLog] = None): Server =
+    startDynamic(spark, () => tables, port, progress)
+
+  /** Like [[start]] but the table map is re-resolved PER SCRAPE — for
+    * deployments whose map file is live-reloadable (graft.Main), so a
+    * table added mid-run appears on /metrics without a restart. */
+  def startDynamic(spark: org.apache.spark.sql.SparkSession,
+                   tables: () => Map[String, String],
+                   port: Int = 0,
+                   progress: Option[ProgressLog] = None): Server = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     srv.createContext("/metrics", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val body = render(spark, tables, progress).getBytes("UTF-8")
+        val body = render(spark, tables(), progress).getBytes("UTF-8")
         ex.getResponseHeaders.add("Content-Type",
           "text/plain; version=0.0.4; charset=utf-8")
         ex.sendResponseHeaders(200, body.length)

@@ -237,7 +237,7 @@ object Orchestrator {
           healedRoutes.map(_.mapping.target).sorted.mkString("\n").getBytes("UTF-8"))
         val q = CdcStream.start(spark, u.url, ckptDir.toString, healedRoutes,
           salts = salts, maxFilesPerTrigger = maxFilesPerTrigger,
-          trigger = trigger)
+          trigger = trigger, format = u.format.getOrElse("parquet"))
         Handle(db.name, u.url, u.sid, q)
       }
     }
@@ -315,6 +315,11 @@ object Orchestrator {
                                           specs: Map[String, TableSpec],
                                           textCol: String = "text"): Unit =
     dbMap.databases.foreach { db =>
+      db.urls.foreach { u =>
+        val f = u.format.getOrElse("parquet")
+        require(f == "parquet" || f == "pgoutput",
+          s"unknown event-log format '$f' (url sid '${u.sid}')")
+      }
       MapConfig.mappings(db).foreach { m =>
         val spec = specs.getOrElse(m.target, throw new IllegalArgumentException(
           s"no TableSpec for target '${m.target}' (database '${db.name}')"))

@@ -1,0 +1,119 @@
+package graft
+
+import graft.config.ProcessConfig
+import graft.lake.LakeTable
+import graft.sources.PgOutput.Wire
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** The process entry point: layered config resolution (file < env < flags),
+  * specs-file loading, and a full serve() e2e — parquet WAL and pgoutput
+  * chunk URLs fanning into one target, admin + metrics endpoints live. */
+class MainSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("config layering: flags > env > settings file > defaults; typos fail") {
+    val dir = SparkTestBase.tmpDir("pcfg")
+    Files.writeString(Paths.get(s"$dir/settings.json"),
+      """{"map_file":"from-file.json","admin_port":"1234","salts":"3"}""")
+    val cfg = ProcessConfig.resolve(
+      Seq("--config", s"$dir/settings.json", "--admin-port=7777",
+        "--metrics-port", "9090"),
+      env = Map("GRAFT_SALTS" -> "5", "GRAFT_MAP_FILE" -> "from-env.json"))
+    assert(cfg.mapFile == "from-env.json", "env beats file")
+    assert(cfg.adminPort == 7777, "flag beats file")
+    assert(cfg.metricsPort == 9090, "--k v form works")
+    assert(cfg.salts == 5, "env beats file for salts")
+    assert(cfg.targetsRoot == "targets", "untouched keys keep defaults")
+    // a typo'd flag / settings key must fail loudly, not default silently
+    assert(intercept[IllegalArgumentException](
+      ProcessConfig.resolve(Seq("--map-fil=x"))).getMessage.contains("map-fil"))
+    Files.writeString(Paths.get(s"$dir/bad.json"), """{"map_fil":"x"}""")
+    assert(intercept[IllegalArgumentException](
+      ProcessConfig.resolve(Seq("--config", s"$dir/bad.json")))
+      .getMessage.contains("map_fil"))
+  }
+
+  test("specs file: ddl + keys + buckets + sid resolve to TableSpecs") {
+    val dir = SparkTestBase.tmpDir("pspecs")
+    Files.writeString(Paths.get(s"$dir/specs.json"),
+      """{"notes": {"ddl": "id bigint, body string",
+        |           "keys": ["id"], "num_buckets": 8, "sid": true},
+        |  "logs": {"ddl": "k int, v string", "keys": ["k"]}}""".stripMargin)
+    val specs = ProcessConfig.loadSpecs(s"$dir/specs.json")
+    val n = specs("notes")
+    assert(n.keyCols == Seq("id") && n.bucketCols == Seq("id") &&
+      n.numBuckets == 8 && n.hasSid &&
+      n.schema.fieldNames.toSeq == Seq("sid", "id", "body"),
+      "sid tables prepend the stored tenant column to the payload ddl")
+    assert(specs("logs").numBuckets == 16 && !specs("logs").hasSid)
+    // missing ddl fails loudly
+    Files.writeString(Paths.get(s"$dir/bad.json"), """{"x": {"keys":["k"]}}""")
+    assert(intercept[IllegalArgumentException](
+      ProcessConfig.loadSpecs(s"$dir/bad.json")).getMessage.contains("ddl"))
+  }
+
+  test("serve e2e: parquet + pgoutput URLs fan into one target; admin + metrics live") {
+    val dir = SparkTestBase.tmpDir("mainserve")
+    // parquet WAL for sid s0
+    Seq(graft.model.ChangeEvent(10L, 0, "I", "notes", "ignored", "none",
+      Map.empty, Map("id" -> "1", "body" -> "from parquet")))
+      .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00000")
+    // pgoutput chunk for sid s1 (self-contained: registry prefix)
+    val relId = 99
+    val rel = Wire.relation(relId, "public", "notes",
+      Seq(("id", 20), ("body", 25)))
+    Files.createDirectories(Paths.get(s"$dir/chunks"))
+    Files.write(Paths.get(s"$dir/chunks/c-000.bin"),
+      Wire.chunk(Seq(rel, Wire.begin(20L, 1),
+        Wire.insert(relId, Seq(Some("2"), Some("from pgoutput"))),
+        Wire.commit(20L))))
+    Files.writeString(Paths.get(s"$dir/map.json"),
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"},
+         |          {"url":"$dir/chunks/c-*.bin","sid":"s1","format":"pgoutput"}],
+         |  "tables":{"notes":{"type":"clone","target":"notes"}}}]}""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/specs.json"),
+      """{"notes": {"ddl": "id bigint, body string", "keys": ["id"],
+        |           "num_buckets": 4, "sid": true}}""".stripMargin)
+    val cfg = ProcessConfig.resolve(Seq(
+      "--map-file", s"$dir/map.json",
+      "--targets-root", s"$dir/targets",
+      "--checkpoint-root", s"$dir/ckpt",
+      "--specs-file", s"$dir/specs.json",
+      "--admin-port", "0", "--metrics-port", "0",
+      "--trigger-ms", "100"))
+    val h = Main.serve(cfg, existingSpark = Some(spark))
+    try {
+      def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (!cond) {
+          if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+          Thread.sleep(200)
+        }
+      }
+      await("both sources converged") {
+        LakeTable.exists(s"$dir/targets/notes") && {
+          val rows = LakeTable.load(spark, s"$dir/targets/notes").read()
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          rows.toSet == Set(("s0", 1L, "from parquet"),
+            ("s1", 2L, "from pgoutput"))
+        }
+      }
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(port: Int, path: String): String = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val metrics = get(h.metrics.get.port, "/metrics")
+      assert(metrics.contains("""graft_snapshot_version{table="notes"}"""),
+        s"metrics must scrape the map's targets:\n$metrics")
+      val status = get(h.admin.get.port, "/api/status")
+      assert(status.contains("\"databases\":1") && status.contains("\"urls\":2"),
+        status)
+    } finally h.stop()
+  }
+}
