@@ -89,6 +89,21 @@ object ProcessConfig {
           out.result()
       }
 
+    // the flag and file layers reject typos outright; env vars are shared
+    // with the engine's runtime knobs (GRAFT_TIMING, GRAFT_OCCUPANCY, ...),
+    // so an unrecognized GRAFT_* gets a loud WARNING instead of a hard
+    // failure — a typo'd GRAFT_MAP_FIL must not silently fall back
+    val runtimeKnobs = Set("GRAFT_CONFIG", "GRAFT_TIMING", "GRAFT_OCCUPANCY",
+      "GRAFT_OCCUPANCY_CAP", "GRAFT_CANDIDATE_CAP", "GRAFT_METRICS_DIR",
+      "GRAFT_COMPACT_FILE_CAP", "GRAFT_ZONE_STATS", "GRAFT_CALIBRATE",
+      "GRAFT_MASTER", "GRAFT_AQE", "GRAFT_WORK_BASE", "GRAFT_PLANS_FULL",
+      "GRAFT_SALTS")
+    val knownEnv = keys.map(k => "GRAFT_" + k.toUpperCase).toSet ++ runtimeKnobs
+    env.keys.filter(k => k.startsWith("GRAFT_") && !knownEnv.contains(k))
+      .foreach(k => System.err.println(
+        s"[config] WARNING: unrecognized environment variable '$k' is " +
+          "ignored (known keys: " + keys.mkString(", ") + ")"))
+
     def get(key: String): Option[String] =
       flags.get(key)
         .orElse(env.get("GRAFT_" + key.toUpperCase))

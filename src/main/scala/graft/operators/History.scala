@@ -247,12 +247,14 @@ object History {
           (batchId, sid, "op", op, n) } ++
           m.toSeq.sortBy(_._1).map { case (k, v) =>
             (batchId, null: String, "merge", k, v) })
-      // event-granular applied watermark per sid (Replay.eventOrdCol): the
-      // checkpoint-loss heal floors the catch-up replay on this
-      val ordProps = dml.groupBy(_._1).map { case (sid, ss) =>
-        val k = s"applied-ord-$sid"
-        k -> math.max(ss.map(_._6).max,
-          snap0.properties.getOrElse(k, "-1").toLong).toString
+      // event-granular applied watermark (Replay.eventOrdCol), keyed per
+      // epoch key — per (stream, mapping), like the epoch itself — so a
+      // shared-target sibling route's commit can never floor this route's
+      // unapplied events out of a healing catch-up replay
+      val ordProps = {
+        val k = s"applied-ord-$epochKey"
+        Map(k -> math.max(dml.map(_._6).max,
+          snap0.properties.getOrElse(k, "-1").toLong).toString)
       }
       lake.commit(newFiles, removed,
         properties = ordProps ++ Map(

@@ -699,14 +699,16 @@ object Replay {
       val metricProps = dml.groupBy(_._2).map { case (op, ss) =>
         val k = s"metrics-ops-$op"
         k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
-      } ++
-        // event-granular applied watermark per sid (see eventOrdCol): the
-        // checkpoint-loss heal floors the catch-up replay on this
-        dml.groupBy(_._1).map { case (sid, ss) =>
-          val k = s"applied-ord-$sid"
-          k -> math.max(ss.map(_._6).max,
-            prev.getOrElse(k, "-1").toLong).toString
-        }
+      } ++ {
+        // event-granular applied watermark (see eventOrdCol), keyed per
+        // EPOCH KEY — i.e. per (stream, mapping), like the epoch itself:
+        // two mappings sharing one target advance independent watermarks,
+        // so one route's commit can never floor the other route's
+        // unapplied events out of a healing catch-up replay
+        val k = s"applied-ord-$epochKey"
+        Map(k -> math.max(dml.map(_._6).max,
+          prev.getOrElse(k, "-1").toLong).toString)
+      }
 
       val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n, _) =>
         (batchId, sid, "op", op, n) }

@@ -163,6 +163,11 @@ ORDER BY query_id, rnk"""
     sys.env.getOrElse("GRAFT_CANDIDATE_CAP", "100000000").toLong
 
   private val ObsPrefix = "graft_candidates_"
+  // observation names must be unique WITHIN one query plan: composing the
+  // same operator twice (e.g. a union of two corpora's dedups) would
+  // otherwise fail analysis on a duplicate CollectMetrics name — suffix a
+  // per-invocation counter, stripped again at harvest time
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
   // one listener per SparkSession (keyed by session UUID; stopped bench
   // sessions leave a stale key behind, bounded by session churn)
   private val listenerSessions =
@@ -205,7 +210,7 @@ ORDER BY query_id, rnk"""
                 // largest n with n(n-1)/2 <= pairs
                 val bound =
                   ((1.0 + math.sqrt(1.0 + 8.0 * pairs.toDouble)) / 2.0).toLong
-                record(name.stripPrefix(ObsPrefix),
+                record(name.stripPrefix(ObsPrefix).takeWhile(_ != '#'),
                   CandidateStats(pairs, row.getLong(1), bound))
               }
             }
@@ -226,7 +231,7 @@ ORDER BY query_id, rnk"""
                                        bucketKey: Column): DataFrame = {
     if (occupancyOff) return candidates
     ensureListener(candidates.sparkSession)
-    candidates.observe(s"$ObsPrefix$op",
+    candidates.observe(s"$ObsPrefix$op#${obsCounter.incrementAndGet()}",
       count(lit(1)).as("pairs"),
       approx_count_distinct(bucketKey).as("buckets"))
   }

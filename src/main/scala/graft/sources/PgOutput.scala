@@ -67,10 +67,13 @@ object PgOutput {
   def typeNameOf(oid: Int): String = typeNames.getOrElse(oid, "text")
 
   private def cstring(b: ByteBuffer): String = {
-    val sb = new java.lang.StringBuilder
+    // NUL-terminated UTF-8 (appending signed bytes via toChar would garble
+    // any multi-byte identifier — a table named 'café' would then never
+    // match its mapping and silently drop every event)
+    val out = new java.io.ByteArrayOutputStream()
     var c = b.get()
-    while (c != 0) { sb.append(c.toChar); c = b.get() }
-    sb.toString
+    while (c != 0) { out.write(c.toInt); c = b.get() }
+    out.toString(UTF_8)
   }
 
   /** TupleData: ncols(int16), then per column a kind byte —
@@ -105,20 +108,34 @@ object PgOutput {
     var seq: Int = 0
   }
 
-  /** Decode one pgoutput message; returns the engine event it yields, if
-    * any (Begin/Commit/Origin/Message frames only move decoder state). */
+  /** Decode one pgoutput message; returns the engine events it yields, if
+    * any (Begin/Commit/Origin/Message/Type frames only move decoder
+    * state). */
   private def message(payload: Array[Byte], sid: String,
-                      st: State): Option[ChangeEvent] = {
+                      st: State): Seq[ChangeEvent] = {
     val b = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     def rel(id: Int): Relation = st.relations.getOrElse(id,
       throw new IllegalStateException(
         s"DML for unknown relation $id — chunk not self-contained " +
           "(writer must prefix each chunk with the Relation registry)"))
-    def nextSeq(): Int = { val s = st.seq; st.seq += 1; s }
+    def nextSeq(): Int = {
+      val s = st.seq
+      // the engine's ord packing ((lsn << 20) | (seq << 1) | sub,
+      // Replay.packOrd) carries seq in 19 bits; overflowing would bleed
+      // into the lsn field and silently corrupt ordering AND the
+      // applied-ord heal watermark — fail loudly instead (a transaction
+      // this large must be chunked upstream)
+      if (s >= (1 << 19) - 1)
+        throw new IllegalArgumentException(
+          s"transaction at lsn ${st.txnLsn} exceeds ${(1 << 19) - 1} events — " +
+            "seq would overflow the engine's 19-bit ord field")
+      st.seq += 1
+      s
+    }
     b.get().toChar match {
       case 'B' => // Begin: finalLSN(8) ts(8) xid(4)
-        st.txnLsn = b.getLong(); st.seq = 0; None
-      case 'C' => None // Commit: flags(1) commitLSN(8) endLSN(8) ts(8)
+        st.txnLsn = b.getLong(); st.seq = 0; Nil
+      case 'C' => Nil // Commit: flags(1) commitLSN(8) endLSN(8) ts(8)
       case 'R' => // Relation
         val id = b.getInt()
         val ns = cstring(b)
@@ -137,12 +154,12 @@ object PgOutput {
           cols.map(_._1), cols.map(_._2))
         // surface as the engine's 'R' event: column -> type-name map, the
         // shape Replay.evolveSchema consumes (schema evolution before merge)
-        Some(ChangeEvent(st.txnLsn, nextSeq(), "R", full, sid, "none",
+        Seq(ChangeEvent(st.txnLsn, nextSeq(), "R", full, sid, "none",
           Map.empty, cols.map { case (c, o) => c -> typeNameOf(o) }.toMap))
       case 'I' => // Insert: relid(4) 'N' tuple
         val r = rel(b.getInt())
         require(b.get().toChar == 'N')
-        Some(ChangeEvent(st.txnLsn, nextSeq(), "I", r.name, sid, "none",
+        Seq(ChangeEvent(st.txnLsn, nextSeq(), "I", r.name, sid, "none",
           Map.empty, tuple(b, r.columns)))
       case 'U' => // Update: relid(4) ['K'|'O' oldtuple] 'N' newtuple
         val r = rel(b.getInt())
@@ -155,21 +172,27 @@ object PgOutput {
           tag = b.get().toChar
         }
         require(tag == 'N', s"update tag '$tag'")
-        Some(ChangeEvent(st.txnLsn, nextSeq(), "U", r.name, sid, oldKind,
+        Seq(ChangeEvent(st.txnLsn, nextSeq(), "U", r.name, sid, oldKind,
           before, tuple(b, r.columns)))
       case 'D' => // Delete: relid(4) 'K'|'O' oldtuple
         val r = rel(b.getInt())
         val tag = b.get().toChar
         require(tag == 'K' || tag == 'O', s"delete tag '$tag'")
-        Some(ChangeEvent(st.txnLsn, nextSeq(), "D", r.name, sid,
+        Seq(ChangeEvent(st.txnLsn, nextSeq(), "D", r.name, sid,
           if (tag == 'K') "K" else "O", tuple(b, r.columns), Map.empty))
-      case 'T' => // Truncate: nrel(4) options(1) relids — parsed, W8 no-op
+      case 'T' => // Truncate: nrel(4) options(1) relids — one event PER
+        // relation (a TRUNCATE a, b CASCADE names them all; collapsing to
+        // the first would lose the rest's identity) — parsed, W8 no-op
         val n = b.getInt()
         b.get()
-        val names = (0 until n).map(_ => rel(b.getInt()).name)
-        Some(ChangeEvent(st.txnLsn, nextSeq(), "T",
-          names.headOption.getOrElse(""), sid, "none", Map.empty, Map.empty))
-      case 'O' | 'M' => None // Origin / logical decoding Message: ignored
+        (0 until n).map { _ =>
+          ChangeEvent(st.txnLsn, nextSeq(), "T", rel(b.getInt()).name, sid,
+            "none", Map.empty, Map.empty)
+        }
+      // Origin ('O') / logical-decoding Message ('M') / Type ('Y', sent
+      // for custom/extension-typed columns before their Relation): no
+      // engine event — parsed-and-skipped, never a decode failure
+      case 'O' | 'M' | 'Y' => Nil
       case m => throw new IllegalArgumentException(s"pgoutput message '$m'")
     }
   }
@@ -184,7 +207,7 @@ object PgOutput {
       val len = b.getInt()
       val payload = new Array[Byte](len)
       b.get(payload)
-      message(payload, sid, st).foreach(out += _)
+      out ++= message(payload, sid, st)
     }
     out.result()
   }
@@ -295,6 +318,12 @@ object PgOutput {
     def truncate(relIds: Seq[Int]): Array[Byte] = {
       val o = buf(); o.write('T'); be32(o, relIds.size); o.write(0)
       relIds.foreach(be32(o, _)); o.toByteArray
+    }
+    /** Type message ('Y'): sent before Relation for custom/extension-typed
+      * columns — the decoder must skip it, never fail on it. */
+    def typeMsg(oid: Int, ns: String, name: String): Array[Byte] = {
+      val o = buf(); o.write('Y'); be32(o, oid); cstr(o, ns); cstr(o, name)
+      o.toByteArray
     }
 
     /** Frame messages into one self-contained chunk (length-prefixed). */

@@ -262,18 +262,25 @@ object AdminHttp {
             val (url, sid) = (j.path("url").asText(""), j.path("sid").asText(""))
             if (url.isEmpty || sid.isEmpty) fail(400, "bad_url", "need url and sid")
             checkName("sid", sid)
+            val fmt = urlFormat(j)
             editDb(name) { db =>
               if (db.urls.exists(_.sid == sid)) fail(409, "exists", sid)
-              db.copy(urls = db.urls :+ MapConfig.UrlEntry(url, sid))
+              db.copy(urls = db.urls :+ MapConfig.UrlEntry(url, sid, fmt))
             }
             respond(ex, 201, obj("created" -> sid))
           case ("PUT", List("api", "db", name, "url", sid)) =>
-            val url = body(ex).path("url").asText("")
+            val j = body(ex)
+            val url = j.path("url").asText("")
             if (url.isEmpty) fail(400, "bad_url", "need url")
+            // format: updated when supplied, otherwise PRESERVED — a url
+            // move must not silently strip a pgoutput url back to parquet
+            val fmt = urlFormat(j)
             editDb(name) { db =>
               if (!db.urls.exists(_.sid == sid)) fail(404, "not_found", sid)
               db.copy(urls = db.urls.map(u =>
-                if (u.sid == sid) MapConfig.UrlEntry(url, sid) else u))
+                if (u.sid == sid)
+                  MapConfig.UrlEntry(url, sid, fmt.orElse(u.format))
+                else u))
             }
             respond(ex, 200, obj("updated" -> sid))
           case ("DELETE", List("api", "db", name, "url", sid)) =>
@@ -414,6 +421,15 @@ object AdminHttp {
       partitions_regex = Option(j.get("partitions_regex")).map(_.asText()),
       signatures = Option(j.get("signatures")).map(_.asBoolean()))
   }
+
+  /** Optional per-url event-log format from a request body; unknown values
+    * are a 400 (they would crash the stream at the next reload). */
+  private def urlFormat(j: JsonNode): Option[String] =
+    Option(j.get("format")).map(_.asText()).filter(_.nonEmpty).map { f =>
+      if (f != "parquet" && f != "pgoutput")
+        fail(400, "bad_format", s"unknown event-log format '$f'")
+      f
+    }
 
   /** Bounded-int query param: malformed or out-of-range input is a 400
     * (client error), never a NumberFormatException-turned-500. */

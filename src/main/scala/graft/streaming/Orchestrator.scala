@@ -198,9 +198,16 @@ object Orchestrator {
           CdcStream.lockFor(r.lake.root).synchronized {
             val floorKey = s"heal-floor-${r.epochKey}"
             val snap = r.lake.snapshot()
-            if (!java.nio.file.Files.isDirectory(ckptDir) &&
-                snap.properties.getOrElse(r.epochKey, "-1").toLong >= 0) {
-              val floor = snap.properties.get(s"applied-ord-${u.sid}")
+            val preDocEpoch = snap.properties.getOrElse(r.epochKey, "-1").toLong
+            val healing =
+              !java.nio.file.Files.isDirectory(ckptDir) && preDocEpoch >= 0
+            if (healing) {
+              // per-ROUTE watermark (applied-ord-<epochKey>): a sibling
+              // mapping sharing this target advances its own key, so its
+              // commits can never floor this route's unapplied events out
+              // of the catch-up replay. Legacy fallback: the lineage
+              // maxLsn rendered as an ord covering all of that lsn's seqs.
+              val floor = snap.properties.get(s"applied-ord-${r.epochKey}")
                 .map(_.toLong).getOrElse {
                   snap.lineage.filter(_.sid == u.sid)
                     .map(_.maxLsn).maxOption.filter(_ >= 0)
@@ -213,18 +220,26 @@ object Orchestrator {
                 properties = Map(r.epochKey -> "-1", floorKey -> floor.toString))
             }
             val props = r.lake.snapshot().properties
-            // companion signature table: its epoch can only be AHEAD of the
-            // doc table's after a doc rebase (batches commit doc-first) —
-            // rebase it to match or post-heal batches would be skipped on
-            // the signature route forever
             r.signatures.foreach { s =>
               CdcStream.lockFor(s.lake.root).synchronized {
                 val se = s.lake.snapshot().properties
                   .getOrElse(r.epochKey, "-1").toLong
                 val de = props.getOrElse(r.epochKey, "-1").toLong
+                // epoch AHEAD of the doc table's (post-rebase): rebase it
+                // to match or post-heal batches would be skipped on the
+                // signature route forever
                 if (se > de)
                   s.lake.commit(Nil, Set.empty,
                     properties = Map(r.epochKey -> de.toString))
+                // epoch BEHIND the doc table's pre-rebase epoch while
+                // healing: the doc table holds batches the signature table
+                // never applied, and the heal floor will hide their replay
+                // (the events filter out before BOTH routes) — re-sign
+                // from the doc table's current state, which contains
+                // exactly those rows (the bootstrap full-sync analog)
+                if (healing && se < preDocEpoch)
+                  graft.operators.SignatureStore.bootstrap(s.lake, r.lake,
+                    s.textCol, force = true)
               }
             }
             r.copy(ordFloor = props.getOrElse(floorKey, "-1").toLong)

@@ -226,6 +226,20 @@ class AdminHttpSpec extends AnyFunSuite {
         Seq(MapConfig.UrlEntry("wal-moved/seg-*", "s0")))
       assert(req(p, "PUT", "/api/db/app/url/nope", """{"url":"x"}""")
         .statusCode() == 404)
+      // the per-url format survives a url move (PUT without format) and is
+      // settable/validated on POST — losing it would flip a pgoutput url
+      // back to the parquet reader at the next reload
+      assert(req(p, "POST", "/api/db/app/url",
+        """{"url":"chunks/c-*.bin","sid":"s8","format":"pgoutput"}""")
+        .statusCode() == 201)
+      assert(req(p, "POST", "/api/db/app/url",
+        """{"url":"x","sid":"s9","format":"bogus"}""").statusCode() == 400)
+      assert(req(p, "PUT", "/api/db/app/url/s8",
+        """{"url":"chunks-moved/c-*.bin"}""").statusCode() == 200)
+      val s8 = MapConfig.load(mapPath.toString).databases.head.urls
+        .find(_.sid == "s8").get
+      assert(s8 == MapConfig.UrlEntry("chunks-moved/c-*.bin", "s8",
+        Some("pgoutput")), s"format must survive a url PUT: $s8")
       // /api/status summary
       val st = req(p, "GET", "/api/status")
       assert(st.statusCode() == 200 &&

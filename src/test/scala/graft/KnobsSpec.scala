@@ -81,6 +81,12 @@ class KnobsSpec extends AnyFunSuite {
     val mhPairs = TextPipeline.dedupMinhashLsh(spark, sf).count()
     val mhRec = awaitStats("dedup_minhash_lsh")
     assert(mhPairs <= mhRec.candidatePairs)
+
+    // composing the SAME operator twice in one query must not collide on
+    // the observation name (CollectMetrics names are plan-unique)
+    val twice = Similarity.cosineDedup(spark, sf)
+      .unionAll(Similarity.cosineDedup(spark, sf)).count()
+    assert(twice == 2 * nPairs)
   }
 
   test("annLsh planes knob changes the bucketing and bounds occupancy") {

@@ -399,9 +399,10 @@ class OrchestratorSpec extends AnyFunSuite {
     Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
       specs, s"$dir/ckpt")
     val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
-    assert(lake.snapshot().properties.get("applied-ord-s0")
+    assert(lake.snapshot().properties
+      .get("applied-ord-commit-epoch-app-s0-transcripts")
       .contains(((100L << 20) | 1L).toString),
-      "applied-ord must record the event-granular watermark")
+      "applied-ord must record the event-granular watermark per route")
 
     // checkpoint lost; the SAME lsn's remaining seq arrives in a new segment
     def rm(f: java.io.File): Unit = {
@@ -419,6 +420,55 @@ class OrchestratorSpec extends AnyFunSuite {
     // the op counters prove half1 did NOT re-apply (2 inserts total)
     assert(LakeTable.load(spark, s"$dir/targets/transcripts")
       .snapshot().properties("metrics-ops-I") == "2")
+  }
+
+  test("heal floors are per MAPPING: a shared-target sibling's commit cannot " +
+    "hide the other route's unapplied events") {
+    // two mappings (t1, t2) of one stream share target X. Crash window:
+    // batch 1 applied by route t1 only (its watermark advances past t2's
+    // batch-1 events), checkpoint lost. The heal must floor each route on
+    // ITS OWN applied-ord — a per-sid watermark would floor t2 at t1's
+    // position and silently drop t2's batch-1 events.
+    val dir = SparkTestBase.tmpDir("orchsharedheal")
+    def ev(lsn: Long, table: String, conv: String) =
+      graft.model.ChangeEvent(lsn, 0, "I", table, "s0", "none",
+        Map.empty, Map("conv_id" -> conv, "turn_idx" -> "0",
+          "role" -> "user", "text" -> s"$conv text"))
+    Seq(ev(100L, "t1", "t1-a"), ev(101L, "t2", "t2-a")).toDS().toDF()
+      .coalesce(1).write.parquet(s"$dir/wal/seg-00000")
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"t1":{"type":"clone","target":"X"},
+         |            "t2":{"type":"clone","target":"X"}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("X" -> Transcripts.spec(name = "X", numBuckets = 4))
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
+    val lake = LakeTable.load(spark, s"$dir/targets/X")
+    assert(lake.read().count() == 2)
+
+    // batch 1: t2's event sits at a LOWER ord than t1's; route t1 applies
+    // it (direct call = crash before route t2's apply), checkpoint lost
+    val seg1 = Seq(ev(200L, "t2", "t2-b"), ev(300L, "t1", "t1-b"))
+    seg1.toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00001")
+    graft.operators.Replay.applyBatch(lake, seg1.toDS(),
+      graft.model.TableMapping("t1", "X"), batchId = 1,
+      epochKey = "commit-epoch-app-s0-t1")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+
+    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+      specs, s"$dir/ckpt")
+    val convs = LakeTable.load(spark, s"$dir/targets/X").read()
+      .select("conv_id").collect().map(_.getString(0)).toSeq.sorted
+    assert(convs == Seq("t1-a", "t1-b", "t2-a", "t2-b"),
+      s"t2's unapplied batch-1 event must survive the heal: $convs")
+    assert(LakeTable.load(spark, s"$dir/targets/X")
+      .snapshot().properties("metrics-ops-I") == "4",
+      "no event may apply twice across the heal")
   }
 
   test("live reload under a processing-time trigger: map change mid-stream, " +

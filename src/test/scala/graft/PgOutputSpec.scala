@@ -61,6 +61,35 @@ class PgOutputSpec extends AnyFunSuite {
     assert(dml(4).old_kind == "K" && dml(4).before("id") == "3")
   }
 
+  test("robustness: UTF-8 identifiers, Type messages, multi-relation truncate, seq cap") {
+    // multi-byte UTF-8 relation/column names must decode exactly (a garbled
+    // name would silently fail routing for every event of that table)
+    val uRel = 7001
+    val chunk = Wire.chunk(Seq(
+      Wire.typeMsg(90001, "public", "mood_enum"), // custom type: skipped
+      Wire.relation(uRel, "analytics", "café_visits", Seq(("id", 20), ("café", 25))),
+      rel,
+      Wire.begin(50L, 3),
+      Wire.insert(uRel, Seq(Some("1"), Some("naïve"))),
+      Wire.truncate(Seq(uRel, relId)), // TRUNCATE a, b: one event EACH
+      Wire.commit(50L)))
+    val evs = PgOutput.decodeChunk(chunk, "s0")
+    val rs = evs.filter(_.op == "R")
+    assert(rs.exists(_.source_table == "analytics.café_visits"),
+      s"UTF-8 relation name must survive: ${rs.map(_.source_table)}")
+    val ins = evs.find(_.op == "I").get
+    assert(ins.after == Map("id" -> "1", "café" -> "naïve"))
+    assert(evs.count(_.op == "T") == 2, "one truncate event per relation")
+    assert(evs.filter(_.op == "T").map(_.source_table).toSet ==
+      Set("analytics.café_visits", "notes"))
+    // a transaction overflowing the 19-bit seq field fails LOUDLY (silent
+    // wraparound would corrupt ord ordering and the heal watermark)
+    val big = Wire.chunk(Seq(rel, Wire.begin(60L, 4)) ++
+      (0 until (1 << 19)).map(_ => Wire.truncate(Seq(relId))))
+    val ex = intercept[IllegalArgumentException](PgOutput.decodeChunk(big, "s0"))
+    assert(ex.getMessage.contains("19-bit"))
+  }
+
   test("chunks decode independently and apply through the engine end-to-end") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("pgout")

@@ -180,6 +180,47 @@ class SignatureStoreSpec extends AnyFunSuite {
       "post-heal batches must reach the signature table")
   }
 
+  test("heal floor gap: doc-committed/sig-missed batch re-signs via forced bootstrap") {
+    // crash window: doc table commits batch 1, signature table does not,
+    // checkpoint lost. The heal floor (doc applied-ord) filters batch 1's
+    // replay before BOTH routes, so the signature route can never receive
+    // it from the WAL — the orchestrator must detect sig-epoch < pre-heal
+    // doc-epoch and force a bootstrap re-sign from the doc table's state.
+    import java.nio.file.{Files, Paths}
+    val dir = SparkTestBase.tmpDir("siggap")
+    val t = (0 until 20).map(i => s"g$i").mkString(" ")
+    Seq(iEv(1, 1, t)).toDS().toDF().coalesce(1)
+      .write.parquet(s"$dir/wal/seg-00000")
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"docs":{"type":"clone","target":"docs","signatures":true}}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$dir/map.json"), mapJson)
+    val specs = Map("docs" -> docSpec)
+    graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map.json",
+      s"$dir/targets", specs, s"$dir/ckpt")
+
+    // batch 1 reaches the DOC table only (direct apply = crash before the
+    // signature commit), then the checkpoint vanishes
+    val seg1 = Seq(iEv(50, 2, t + " second"))
+    seg1.toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00001")
+    val docLake = LakeTable.load(spark, s"$dir/targets/docs")
+    graft.operators.Replay.applyBatch(docLake, seg1.toDS(), mapping,
+      batchId = 1, epochKey = "commit-epoch-app-s0-docs")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$dir/ckpt"))
+
+    graft.streaming.Orchestrator.runAvailable(spark, s"$dir/map.json",
+      s"$dir/targets", specs, s"$dir/ckpt")
+    val sig = LakeTable.load(spark, s"$dir/targets/docs_signatures")
+    val rows = sigRows(sig)
+    assert(rows.keySet == Set("1", "2"),
+      s"the doc-committed/sig-missed batch must be re-signed: ${rows.keySet}")
+    assert(rows("2")._1 != null, "re-signed row must carry real hashes")
+  }
+
   test("bootstrap: late opt-in and backfill rows get signed (full-sync analog)") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
