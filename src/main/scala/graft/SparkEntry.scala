@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC engine (events table interpreted as a change log) ---
     "cdc_replay_clone" -> EventsCdc.qClone,
+    "cdc_pgoutput_replay" -> EventsCdc.qPgoutputReplay,
     "cdc_replay_filter" -> EventsCdc.qFilter,
     "cdc_replay_set" -> EventsCdc.qSet,
     "cdc_replay_pkupdate" -> EventsCdc.qPkUpdate,
@@ -55,6 +56,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextPipeline.dedupNgramJaccard,
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLsh,
     "dedup_simhash" -> TextPipeline.dedupSimhash,
+    "dedup_clusters" -> TextPipeline.dedupClusters,
     "dedup_incremental" -> TextPipeline.dedupIncremental,
     "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhash,
     "text_lang_id" -> TextPipeline.langId,
@@ -76,6 +78,8 @@ object SparkEntry {
   /** DuckDB oracle per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "cdc_replay_clone" -> EventsCdc.cloneOracle(),
+    // the pgoutput wire round-trip must converge to the identical state
+    "cdc_pgoutput_replay" -> EventsCdc.cloneOracle(),
     "cdc_replay_filter" -> EventsCdc.cloneOracle(filterSql = "value > 10"),
     "cdc_replay_set" -> EventsCdc.setOracle,
     "cdc_replay_pkupdate" -> EventsCdc.cloneOracle(pkUpdate = true),
@@ -101,6 +105,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextPipeline.dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLshOracle,
     "dedup_simhash" -> TextPipeline.dedupSimhashOracle,
+    "dedup_clusters" -> TextPipeline.dedupClustersOracle,
     "dedup_incremental" -> TextPipeline.dedupIncrementalOracle,
     "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhashOracle,
     "text_lang_id" -> TextPipeline.langIdOracle,

@@ -433,6 +433,94 @@ ORDER BY corpus_id, new_id"""
   }
 
   // ---------------------------------------------------------------------
+  // D6: near-dup CLUSTERING — connected components over the verified
+  // MinHash-LSH pair graph, so curation can pick ONE canonical doc per
+  // duplicate cluster instead of dropping the higher id of every pair
+  // (pairwise dropping over-deletes on transitive chains a~b~c: it drops
+  // b AND c; clustering keeps exactly one). Min-label propagation:
+  //   label(doc) := min(label(doc), min over neighbors label(nbr))
+  // iterated to fixpoint — each round is one shuffle-join + aggregate, and
+  // the round count is the cluster diameter (near-dup clusters are
+  // shallow: O(log n) rounds in practice — the standard distributed
+  // connected-components shape, GraphX-equivalent without the RDD API).
+  // Deterministic: cluster_id = the component's minimum doc_id.
+  // ---------------------------------------------------------------------
+
+  /** Max label-propagation rounds before failing loudly (a near-dup graph
+    * with diameter beyond this indicates a degenerate corpus or a
+    * too-loose threshold — not something to silently under-merge). */
+  val ClusterMaxIters = 20
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      // iterate ONLY over the pair graph's vertices: docs outside any pair
+      // never change label, so the iteration state is O(dup-involved docs)
+      // — at corpus scale orders of magnitude smaller than the corpus —
+      // and singletons join back once at the end
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var iters = 0
+      while (!converged) {
+        require(iters < ClusterMaxIters,
+          s"label propagation did not converge in $ClusterMaxIters rounds")
+        iters += 1
+        val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+          .groupBy(edges("a").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.alias("n").join(labels.alias("o"), "doc_id")
+          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0
+      }
+      // land the converged labels as a (tiny, two-column) parquet artifact
+      // and unpin the iteration cache — the returned frame must not hold a
+      // persisted block hostage (the round-4 telemetry lesson), and the
+      // artifact read keeps everything distributed
+      tmpLakeHook
+      val art = java.nio.file.Files.createTempDirectory("graft-clusters")
+      tmpLakes.add(art)
+      labels.write.parquet(s"$art/labels.parquet")
+      labels.unpersist(blocking = false)
+      val lbl = spark.read.parquet(s"$art/labels.parquet")
+      // singletons (docs in no pair) are their own canonical
+      val all = docs(spark, dir).select(col("doc_id"))
+        .join(lbl, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      all.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    } finally pairs.unpersist()
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE p AS (SELECT a, b FROM ($dedupMinhashLshOracle) q),
+e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+reach(x, y) AS (SELECT a AS x, b AS y FROM e
+                UNION
+                SELECT r.x, e2.b AS y FROM reach r JOIN e e2 ON e2.a = r.y),
+lbl AS (SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+        GROUP BY d.doc_id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lbl l JOIN sz s USING (cluster_id)
+ORDER BY l.doc_id"""
+
+  // ---------------------------------------------------------------------
   // T1: language ID — marker-word heuristic (deterministic n-gram-free
   // fallback chain; real corpora would use char-n-gram profiles)
   // ---------------------------------------------------------------------

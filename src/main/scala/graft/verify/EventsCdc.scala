@@ -143,6 +143,57 @@ object EventsCdc {
       TableMapping("events", "events_state", filter = Some("value > 10")), spec()),
       outCols)
 
+  /** pgoutput wire round-trip under the SAME oracle as cdc_replay_clone:
+    * the derived change log is rendered to byte-exact pgoutput chunk files
+    * (one transaction per event — Begin / message / Commit — with the
+    * Relation registry prefixed per chunk; the rendering is the
+    * capture-tool stand-in, which is single-threaded at the socket in
+    * production too), then streamed through the REAL pgoutput source path
+    * (`CdcStream.start(format = "pgoutput")` -> binaryFile ->
+    * `PgOutput.decodeChunk` -> the merge). Oracle equality proves the wire
+    * encode/decode is lossless end to end: op kinds, present-vs-NULL
+    * values, unchanged-TOAST absence, (lsn, seq) assignment. */
+  def qPgoutputReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PgOutput.Wire
+    val cols = outCols
+    val relId = 1
+    // OIDs per the payload types: int8, text, float8, text, timestamp
+    val rel = Wire.relation(relId, "public", "events",
+      cols.zip(Seq(20, 25, 701, 25, 1114)))
+    def vals(m: Map[String, String]): Seq[Option[String]] =
+      cols.map(c => m.get(c).flatMap(Option(_))) // absent OR null -> None
+    def absentIdx(m: Map[String, String]): Set[Int] =
+      cols.zipWithIndex.collect { case (c, i) if !m.contains(c) => i }.toSet
+    val events = derive(spark, dir).collect().sortBy(e => (e.lsn, e.seq))
+    val tmp = Files.createTempDirectory("graft-pgo").toString
+    val maxLsn = events.map(_.lsn).max
+    val per = maxLsn / Batches + 1
+    (0 until Batches).foreach { b =>
+      val lo = b * per; val hi = lo + per
+      val msgs = events.filter(e => e.lsn >= lo && e.lsn < hi).flatMap { e =>
+        val body = e.op match {
+          case "I" => Wire.insert(relId, vals(e.after))
+          case "U" => Wire.update(relId, vals(e.after),
+            toastAbsent = absentIdx(e.after))
+          case "D" => Wire.delete(relId, 'K', vals(e.before))
+        }
+        Seq(Wire.begin(e.lsn, e.lsn.toInt), body, Wire.commit(e.lsn))
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/wal"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$tmp/wal/chunk-$b%03d.bin"),
+        Wire.chunk(rel +: msgs))
+    }
+    val lake = LakeTable.create(spark, s"$tmp/t", spec())
+    val q = graft.streaming.CdcStream.start(spark, s"$tmp/wal/chunk-*.bin",
+      s"$tmp/ckpt",
+      Seq(graft.streaming.CdcStream.Route(
+        TableMapping("events", "events_state"), lake)),
+      maxFilesPerTrigger = 1, format = "pgoutput")
+    q.awaitTermination()
+    finalState(lake, outCols)
+  }
+
   def qSet(spark: SparkSession, dir: String): DataFrame = {
     val target = TableSpec("events_set",
       StructType(Seq(

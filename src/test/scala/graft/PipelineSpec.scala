@@ -71,6 +71,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("near-dup clustering: transitive chains collapse to one canonical doc") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("clusters")
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val b = base.replace("tok10 ", "x10 ") // near-dup of base
+    val c = b.replace("tok50 ", "x50 ") // near-dup of b (chain: a~b~c)
+    val docs = Seq(
+      (0L, base), (1L, b), (2L, c),
+      (3L, "entirely different content " + (0 until 40).map(j => s"u$j").mkString(" ")),
+      (4L, "another unrelated doc " + (0 until 40).map(j => s"v$j").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    // the pair graph is a chain (0-1, 1-2); pairwise higher-id dropping
+    // would delete BOTH 1 and 2 — clustering keeps one canonical (0)
+    val rows = TextPipeline.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Set(0L, 1L, 2L).map(rows(_)._1) == Set(0L),
+      s"the chain must collapse into cluster 0: $rows")
+    assert(rows(0L)._2 == 3, "cluster size counts every member")
+    assert(rows(3L) == (3L, 1L) && rows(4L) == (4L, 1L),
+      "singletons are their own canonical")
+  }
+
   test("planted duplicates: exact + simhash + ngram detect them") {
     val dir = SparkTestBase.tmpDir("plant")
     import spark.implicits._
