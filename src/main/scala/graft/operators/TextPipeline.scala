@@ -493,14 +493,17 @@ ORDER BY corpus_id, new_id"""
       labels.write.parquet(s"$art/labels.parquet")
       labels.unpersist(blocking = false)
       val lbl = spark.read.parquet(s"$art/labels.parquet")
-      // singletons (docs in no pair) are their own canonical
-      val all = docs(spark, dir).select(col("doc_id"))
+      // sizes come from the TINY converged label table (one corpus pass
+      // total); singletons (docs in no pair) are their own canonical with
+      // size 1 via the coalesces
+      val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      docs(spark, dir).select(col("doc_id"))
         .join(lbl, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      all.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .join(sizes, Seq("cluster_id"), "left_outer")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
         .orderBy("doc_id")
     } finally pairs.unpersist()
   }
