@@ -56,8 +56,12 @@ object Main {
   final case class ServeHandle(spark: SparkSession,
                                orchestrator: Option[Orchestrator.ContinuousHandle],
                                admin: Option[AdminHttp.Server],
-                               metrics: Option[MetricsHttp.Server]) {
+                               metrics: Option[MetricsHttp.Server],
+                               maintenance: Option[Thread] = None,
+                               maintenanceStop: Option[java.util.concurrent.atomic.AtomicBoolean] = None) {
     def stop(): Unit = {
+      maintenanceStop.foreach(_.set(true))
+      maintenance.foreach(_.join())
       admin.foreach(_.stop())
       metrics.foreach(_.stop())
       orchestrator.foreach(_.stop())
@@ -101,21 +105,63 @@ object Main {
         cfg.targetsRoot, sourceSpec = specs.get,
         jwtKey = cfg.jwtKey.map(_.getBytes("UTF-8")), port = cfg.adminPort))
 
+    // targets re-resolved from the CURRENT map (live-reloadable; a table
+    // added later must appear on /metrics and in maintenance), including
+    // the companion signature tables of signatures-enabled mappings
+    def tables(): Map[String, String] =
+      try MapConfig.load(cfg.mapFile).databases.flatMap { db =>
+        MapConfig.mappings(db).flatMap { m =>
+          val sig = db.tables.get(m.sourceTable).flatMap(_.signatures)
+            .filter(identity).map(_ => s"${m.target}_signatures")
+          m.target +: sig.toSeq
+        }
+      }.distinct.map(t => t -> s"${cfg.targetsRoot}/$t").toMap
+      catch { case _: Exception => Map.empty }
+
     val metrics =
       if (cfg.metricsPort < 0) None
-      else {
-        // targets re-resolved from the CURRENT map per scrape (the map is
-        // live-reloadable; a table added later must appear on /metrics)
-        def tables(): Map[String, String] =
-          try MapConfig.load(cfg.mapFile).databases
-            .flatMap(MapConfig.mappings).map(_.target).distinct
-            .map(t => t -> s"${cfg.targetsRoot}/$t").toMap
-          catch { case _: Exception => Map.empty }
-        Some(MetricsHttp.startDynamic(spark, () => tables(),
-          port = cfg.metricsPort))
+      else Some(MetricsHttp.startDynamic(spark, () => tables(),
+        port = cfg.metricsPort))
+
+    // periodic lake maintenance: snapshot vacuum + bucket compaction per
+    // target, serialized on the table locks (safe against live streams) —
+    // without this, continuous ingest grows manifests and reclaims nothing
+    val maintStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maint =
+      if (cfg.maintenanceIntervalSec <= 0 || cfg.drain) None
+      else Some {
+        val t = new Thread(() => {
+          while (!maintStop.get()) {
+            var slept = 0L
+            while (slept < cfg.maintenanceIntervalSec * 1000 && !maintStop.get()) {
+              Thread.sleep(100); slept += 100
+            }
+            if (!maintStop.get()) tables().foreach { case (name, root) =>
+              try {
+                if (LakeTable.exists(root))
+                  graft.streaming.CdcStream.lockFor(root).synchronized {
+                    val lake = LakeTable.load(spark, root)
+                    val (manifests, files) =
+                      lake.vacuum(retainVersions = cfg.vacuumRetain)
+                    val buckets = lake.compact()
+                    if (manifests + files + buckets > 0)
+                      System.err.println(s"[maintenance] $name: expired " +
+                        s"$manifests manifests, reclaimed $files files, " +
+                        s"compacted $buckets buckets")
+                  }
+              } catch { case e: Exception =>
+                System.err.println(s"[maintenance] $name failed: ${e.getMessage}")
+              }
+            }
+          }
+        }, "graft-maintenance")
+        t.setDaemon(true)
+        t.start()
+        t
       }
 
-    ServeHandle(spark, orchestrator, admin, metrics)
+    ServeHandle(spark, orchestrator, admin, metrics, maint,
+      if (maint.isDefined) Some(maintStop) else None)
   }
 
   def main(args: Array[String]): Unit = {

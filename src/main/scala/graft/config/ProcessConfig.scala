@@ -35,7 +35,14 @@ final case class ProcessConfig(
     salts: Int = 0,
     maxFilesPerTrigger: Int = 1,
     triggerMs: Long = 250L,
-    drain: Boolean = false) // true = drain available WAL once and exit
+    drain: Boolean = false, // true = drain available WAL once and exit
+    // periodic lake maintenance: every interval, vacuum (expire snapshots
+    // past vacuum_retain + reclaim unreferenced files) and compact
+    // over-fragmented buckets on every map target — continuous ingest at
+    // 10^10 events otherwise accumulates manifests/files without bound.
+    // <= 0 disables (drain mode and tests).
+    maintenanceIntervalSec: Long = -1L,
+    vacuumRetain: Int = 8)
 
 object ProcessConfig {
 
@@ -44,7 +51,7 @@ object ProcessConfig {
   private val keys = Seq("map_file", "targets_root", "checkpoint_root",
     "specs_file", "admin_port", "metrics_port", "jwt_key", "master",
     "shuffle_partitions", "salts", "max_files_per_trigger", "trigger_ms",
-    "drain")
+    "drain", "maintenance_interval_sec", "vacuum_retain")
 
   /** Resolve the config from `args` + `env` (+ the settings file named by
     * `--config`/GRAFT_CONFIG, if any). */
@@ -128,7 +135,10 @@ object ProcessConfig {
       salts = int("salts", dflt.salts),
       maxFilesPerTrigger = int("max_files_per_trigger", dflt.maxFilesPerTrigger),
       triggerMs = get("trigger_ms").map(_.toLong).getOrElse(dflt.triggerMs),
-      drain = bool("drain", dflt.drain))
+      drain = bool("drain", dflt.drain),
+      maintenanceIntervalSec = get("maintenance_interval_sec").map(_.toLong)
+        .getOrElse(dflt.maintenanceIntervalSec),
+      vacuumRetain = int("vacuum_retain", dflt.vacuumRetain))
   }
 
   /** Load target TableSpecs from a specs file — the declarative schema

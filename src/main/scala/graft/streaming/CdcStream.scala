@@ -68,7 +68,9 @@ object CdcStream {
     * concurrently with an earlier URL's already-running stream. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[streaming] def lockFor(root: String): Object =
+  // graft-wide: maintenance (Main) and admin endpoints serialize against
+  // live stream applies on the same lock
+  private[graft] def lockFor(root: String): Object =
     tableLocks.computeIfAbsent(root, _ => new Object)
 
   /** @param format "parquet" (WAL-shaped parquet event log, default) or

@@ -56,6 +56,73 @@ class MainSpec extends AnyFunSuite {
       ProcessConfig.loadSpecs(s"$dir/bad.json")).getMessage.contains("ddl"))
   }
 
+  test("drain mode: one-shot catch-up, no continuous machinery") {
+    val dir = SparkTestBase.tmpDir("maindrain")
+    Seq(graft.model.ChangeEvent(5L, 0, "I", "notes", "x", "none",
+      Map.empty, Map("id" -> "7", "body" -> "drained")))
+      .toDS().toDF().coalesce(1).write.parquet(s"$dir/wal/seg-00000")
+    Files.writeString(Paths.get(s"$dir/map.json"),
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"notes":{"type":"clone","target":"notes"}}}]}""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/specs.json"),
+      """{"notes": {"ddl": "id bigint, body string", "keys": ["id"]}}""")
+    val cfg = ProcessConfig.resolve(Seq(
+      "--map-file", s"$dir/map.json", "--targets-root", s"$dir/targets",
+      "--checkpoint-root", s"$dir/ckpt", "--specs-file", s"$dir/specs.json",
+      "--drain", "true"))
+    val h = Main.serve(cfg, existingSpark = Some(spark))
+    try {
+      assert(h.orchestrator.isEmpty && h.admin.isEmpty && h.metrics.isEmpty)
+      val rows = LakeTable.load(spark, s"$dir/targets/notes").read()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((7L, "drained")), s"drain must converge: $rows")
+    } finally h.stop()
+  }
+
+  test("maintenance loop: periodic vacuum bounds manifest growth under live ingest") {
+    val dir = SparkTestBase.tmpDir("mainmaint")
+    // several one-event segments -> several snapshot versions on the target
+    (0 until 6).foreach { i =>
+      Seq(graft.model.ChangeEvent(10L + i, 0, "I", "notes", "x", "none",
+        Map.empty, Map("id" -> i.toString, "body" -> s"v$i")))
+        .toDS().toDF().coalesce(1).write.parquet(f"$dir/wal/seg-$i%05d")
+    }
+    Files.writeString(Paths.get(s"$dir/map.json"),
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
+         |  "tables":{"notes":{"type":"clone","target":"notes"}}}]}""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/specs.json"),
+      """{"notes": {"ddl": "id bigint, body string", "keys": ["id"]}}""")
+    val cfg = ProcessConfig.resolve(Seq(
+      "--map-file", s"$dir/map.json", "--targets-root", s"$dir/targets",
+      "--checkpoint-root", s"$dir/ckpt", "--specs-file", s"$dir/specs.json",
+      "--trigger-ms", "100",
+      "--maintenance-interval-sec", "1", "--vacuum-retain", "2"))
+    val h = Main.serve(cfg, existingSpark = Some(spark))
+    try {
+      def manifests: Int =
+        Option(new java.io.File(s"$dir/targets/notes/_meta").listFiles())
+          .map(_.count(_.getName.endsWith(".json"))).getOrElse(0)
+      def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (!cond) {
+          if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+          Thread.sleep(200)
+        }
+      }
+      await("all six events applied") {
+        LakeTable.exists(s"$dir/targets/notes") &&
+          LakeTable.load(spark, s"$dir/targets/notes").read().count() == 6
+      }
+      // ingest produced >> retain manifests; the maintenance loop must
+      // bound them (retain + a little in-flight slack)
+      await("vacuum bounded the manifests")(manifests <= 4)
+      // no data lost by maintenance
+      assert(LakeTable.load(spark, s"$dir/targets/notes").read().count() == 6)
+    } finally h.stop()
+  }
+
   test("serve e2e: parquet + pgoutput URLs fan into one target; admin + metrics live") {
     val dir = SparkTestBase.tmpDir("mainserve")
     // parquet WAL for sid s0
