@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   private val DefaultQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_incremental",
+    "dedup_incremental", "dedup_clusters",
     "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk")
 
   // knnBrute deliberately broadcasts the 5-row query side into a non-equi
