@@ -65,6 +65,7 @@ object SparkEntry {
     "text_tokens_vocab" -> TextPipeline.tokenCountVocab,
     "text_fingerprint" -> TextPipeline.fingerprint,
     "pipeline_curation" -> TextPipeline.curation,
+    "pipeline_curation_clustered" -> TextPipeline.curationClustered,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMeta,
     "mm_frame_sample" -> operators.Multimodal.frameSample,
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_tokens_vocab" -> TextPipeline.tokenCountVocabOracle,
     "text_fingerprint" -> TextPipeline.fingerprintOracle,
     "pipeline_curation" -> TextPipeline.curationOracle,
+    "pipeline_curation_clustered" -> TextPipeline.curationClusteredOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
     "mm_frame_sample" -> operators.Multimodal.frameSampleOracle,

@@ -753,6 +753,46 @@ dec AS (
   JOIN q ON q.doc_id = d.doc_id)
 SELECT doc_id, reason = 'keep' AS keep, reason FROM dec ORDER BY doc_id"""
 
+  /** Cluster-aware curation — the X14 composition: instead of dropping the
+    * higher id of every verified near-dup PAIR (which over-deletes on
+    * transitive chains: a~b~c drops both b and c), each duplicate CLUSTER
+    * keeps exactly its canonical doc (the component minimum) and drops the
+    * rest. Precedence mirrors [[curation]]: exact > near-cluster > quality.
+    */
+  def curationClustered(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val keepers = dedupExact(spark, dir).select(col("text_md5"), col("keep_id"))
+    val clusters = dedupClusters(spark, dir)
+    val q = quality(spark, dir).select(col("doc_id"), col("quality"))
+    d.join(keepers, d("h") === keepers("text_md5"))
+      .join(clusters, Seq("doc_id"))
+      .join(q, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("cluster_size") > 1 && col("doc_id") =!= col("cluster_id"),
+            "near_dup_cluster")
+          .when(col("quality") < QualityFloor, "low_quality")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  val curationClusteredOracle: String =
+    s"""WITH cl AS (SELECT * FROM ($dedupClustersOracle) c),
+ex AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+q AS (SELECT doc_id, quality FROM ($qualityOracle) qq),
+dec AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id <> ex.keep_id THEN 'exact_dup'
+         WHEN cl.cluster_size > 1 AND d.doc_id <> cl.cluster_id THEN 'near_dup_cluster'
+         WHEN q.quality < $QualityFloor THEN 'low_quality'
+         ELSE 'keep' END AS reason
+  FROM documents d JOIN ex ON ex.h = md5(d.text)
+  JOIN cl ON cl.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id)
+SELECT doc_id, reason = 'keep' AS keep, reason FROM dec ORDER BY doc_id"""
+
   // ---------------------------------------------------------------------
   // M1: multimodal plumbing — opaque binary column + typed metadata
   // (byte length, content digest). Real decode (image/audio) would hang

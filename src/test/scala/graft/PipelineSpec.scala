@@ -74,9 +74,12 @@ class PipelineSpec extends AnyFunSuite {
   test("near-dup clustering: transitive chains collapse to one canonical doc") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("clusters")
-    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
-    val b = base.replace("tok10 ", "x10 ") // near-dup of base
-    val c = b.replace("tok50 ", "x50 ") // near-dup of b (chain: a~b~c)
+    // every 10th token is a stopword so the chain's docs pass the quality
+    // floor (the clustered-curation assertion needs the canonical KEPT)
+    val base = (0 until 60).map(i => if (i % 10 == 0) "the" else s"tok$i")
+      .mkString(" ")
+    val b = base.replace("tok11 ", "x11 ") // near-dup of base
+    val c = b.replace("tok51 ", "x51 ") // near-dup of b (chain: a~b~c)
     val docs = Seq(
       (0L, base), (1L, b), (2L, c),
       (3L, "entirely different content " + (0 until 40).map(j => s"u$j").mkString(" ")),
@@ -94,6 +97,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0L)._2 == 3, "cluster size counts every member")
     assert(rows(3L) == (3L, 1L) && rows(4L) == (4L, 1L),
       "singletons are their own canonical")
+
+    // cluster-aware curation keeps exactly the canonical of the chain —
+    // the pairwise variant would have dropped BOTH 1 and 2 anyway here,
+    // but on deeper structure it over-deletes; the clustered decision is
+    // keep-one-per-component by construction
+    val cur = TextPipeline.curationClustered(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(cur(0L) == (true, "keep"), s"canonical kept: $cur")
+    assert(cur(1L) == (false, "near_dup_cluster") &&
+      cur(2L) == (false, "near_dup_cluster"))
+    assert(cur(3L)._2 != "near_dup_cluster" && cur(4L)._2 != "near_dup_cluster")
   }
 
   test("planted duplicates: exact + simhash + ngram detect them") {
