@@ -108,12 +108,12 @@ object Main {
     // targets re-resolved from the CURRENT map (live-reloadable; a table
     // added later must appear on /metrics and in maintenance), including
     // the companion signature tables of signatures-enabled mappings
+    // (MapConfig.signatureTarget — the same authority the orchestrator's
+    // sink wiring uses)
     def tables(): Map[String, String] =
       try MapConfig.load(cfg.mapFile).databases.flatMap { db =>
         MapConfig.mappings(db).flatMap { m =>
-          val sig = db.tables.get(m.sourceTable).flatMap(_.signatures)
-            .filter(identity).map(_ => s"${m.target}_signatures")
-          m.target +: sig.toSeq
+          m.target +: MapConfig.signatureTarget(db, m).toSeq
         }
       }.distinct.map(t => t -> s"${cfg.targetsRoot}/$t").toMap
       catch { case _: Exception => Map.empty }
@@ -136,21 +136,26 @@ object Main {
             while (slept < cfg.maintenanceIntervalSec * 1000 && !maintStop.get()) {
               Thread.sleep(100); slept += 100
             }
-            if (!maintStop.get()) tables().foreach { case (name, root) =>
-              try {
-                if (LakeTable.exists(root))
-                  graft.streaming.CdcStream.lockFor(root).synchronized {
-                    val lake = LakeTable.load(spark, root)
-                    val (manifests, files) =
-                      lake.vacuum(retainVersions = cfg.vacuumRetain)
-                    val buckets = lake.compact()
+            // re-check the stop flag BETWEEN tables: a pass over many
+            // targets must not pin shutdown (stop() joins this thread)
+            // for the whole fleet's vacuum+compact
+            tables().foreach { case (name, root) =>
+              if (!maintStop.get()) {
+                try {
+                  if (LakeTable.exists(root)) {
+                    val (manifests, files) = graft.streaming.CdcStream
+                      .vacuumUnderLock(spark, root, cfg.vacuumRetain)
+                    val buckets = graft.streaming.CdcStream
+                      .compactUnderLock(spark, root,
+                        maxFilesPerBucket = 8)
                     if (manifests + files + buckets > 0)
                       System.err.println(s"[maintenance] $name: expired " +
                         s"$manifests manifests, reclaimed $files files, " +
                         s"compacted $buckets buckets")
                   }
-              } catch { case e: Exception =>
-                System.err.println(s"[maintenance] $name failed: ${e.getMessage}")
+                } catch { case e: Exception =>
+                  System.err.println(s"[maintenance] $name failed: ${e.getMessage}")
+                }
               }
             }
           }

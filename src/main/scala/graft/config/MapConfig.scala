@@ -58,6 +58,15 @@ object MapConfig {
   def load(path: String): DbMap =
     parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
 
+  /** The companion near-dup signatures table NAME for a mapping, when its
+    * table entry opts in (`"signatures": true`) — the single authority for
+    * both the orchestrator (sink wiring) and graft.Main (metrics +
+    * maintenance coverage); a divergence between those sites would
+    * silently exempt the companion from vacuum/compact/metrics. */
+  def signatureTarget(db: SourceDatabase, m: TableMapping): Option[String] =
+    db.tables.get(m.sourceTable).flatMap(_.signatures).filter(identity)
+      .map(_ => s"${m.target}_signatures")
+
   /** Resolve one database's table map to engine mappings (the analog of
     * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). */
   def mappings(db: SourceDatabase): Seq[TableMapping] =

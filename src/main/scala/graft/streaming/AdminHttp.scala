@@ -355,9 +355,8 @@ object AdminHttp {
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
             val retain = intParam(ex, "retain", default = 2, min = 1)
-            val (manifests, files) = CdcStream.lockFor(root).synchronized {
-              LakeTable.load(spark, root).vacuum(retainVersions = retain)
-            }
+            val (manifests, files) =
+              CdcStream.vacuumUnderLock(spark, root, retain)
             respond(ex, 200, obj("vacuumed" -> target,
               "expired_manifests" -> manifests, "deleted_files" -> files))
           case ("POST", List("api", "table", target, "compact")) =>
@@ -365,9 +364,7 @@ object AdminHttp {
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
             val cap = intParam(ex, "max_files_per_bucket", default = 8, min = 1)
-            val buckets = CdcStream.lockFor(root).synchronized {
-              LakeTable.load(spark, root).compact(maxFilesPerBucket = cap)
-            }
+            val buckets = CdcStream.compactUnderLock(spark, root, cap)
             respond(ex, 200, obj("compacted" -> target, "buckets" -> buckets))
 
           // the restart channel analog: bump the map mtime so the watcher

@@ -73,6 +73,24 @@ object CdcStream {
   private[graft] def lockFor(root: String): Object =
     tableLocks.computeIfAbsent(root, _ => new Object)
 
+  /** Lock-serialized snapshot vacuum for one table root — the ONE
+    * implementation behind the admin endpoint and Main's maintenance loop
+    * (two copies of the lock discipline would inevitably diverge).
+    * @return (expired manifests, reclaimed data files) */
+  private[graft] def vacuumUnderLock(spark: SparkSession, root: String,
+                                     retainVersions: Int): (Int, Int) =
+    lockFor(root).synchronized {
+      LakeTable.load(spark, root).vacuum(retainVersions = retainVersions)
+    }
+
+  /** Lock-serialized bucket compaction for one table root (see
+    * [[vacuumUnderLock]]). @return buckets compacted */
+  private[graft] def compactUnderLock(spark: SparkSession, root: String,
+                                      maxFilesPerBucket: Int): Int =
+    lockFor(root).synchronized {
+      LakeTable.load(spark, root).compact(maxFilesPerBucket = maxFilesPerBucket)
+    }
+
   /** @param format "parquet" (WAL-shaped parquet event log, default) or
     *               "pgoutput" (self-contained pgoutput chunk files decoded
     *               by graft.sources.PgOutput — same checkpoint-as-ack

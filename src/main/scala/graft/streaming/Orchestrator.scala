@@ -77,17 +77,16 @@ object Orchestrator {
           else LakeTable.create(spark, root, spec)
         // map-file opt-in signature maintenance ("signatures": true):
         // companion near-dup signature table kept per applied micro-batch
-        val sink = db.tables.get(m.sourceTable).flatMap(_.signatures)
-          .filter(identity).map { _ =>
+        val sink = MapConfig.signatureTarget(db, m).map { sname =>
             require(m.mode != TableMode.History,
               s"'signatures' is not supported for history table '${m.sourceTable}'")
             require(spec.schema.fieldNames.contains("text"),
               s"'signatures' requires a 'text' column on target '${m.target}'")
-            val sroot = s"$targetsRoot/${m.target}_signatures"
+            val sroot = s"$targetsRoot/$sname"
             val slake =
               if (LakeTable.exists(sroot)) LakeTable.load(spark, sroot)
               else LakeTable.create(spark, sroot,
-                graft.operators.SignatureStore.spec(s"${m.target}_signatures"))
+                graft.operators.SignatureStore.spec(sname))
             CdcStream.SignatureSink(slake)
           }
         (CdcStream.Route(m, lake, signatures = sink), existed)
