@@ -104,7 +104,7 @@ class MainSpec extends AnyFunSuite {
       def manifests: Int =
         Option(new java.io.File(s"$dir/targets/notes/_meta").listFiles())
           .map(_.count(_.getName.endsWith(".json"))).getOrElse(0)
-      def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+      def await(what: String, timeoutMs: Long = 180000)(cond: => Boolean): Unit = {
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         while (!cond) {
           if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
@@ -155,7 +155,7 @@ class MainSpec extends AnyFunSuite {
       "--trigger-ms", "100"))
     val h = Main.serve(cfg, existingSpark = Some(spark))
     try {
-      def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+      def await(what: String, timeoutMs: Long = 180000)(cond: => Boolean): Unit = {
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         while (!cond) {
           if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")

@@ -493,7 +493,7 @@ class OrchestratorSpec extends AnyFunSuite {
       "t1" -> Transcripts.spec(name = "t1", numBuckets = 4),
       "t2" -> Transcripts.spec(name = "t2", numBuckets = 4))
 
-    def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+    def await(what: String, timeoutMs: Long = 180000)(cond: => Boolean): Unit = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (!cond) {
         if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
