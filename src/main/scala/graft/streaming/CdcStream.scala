@@ -162,9 +162,10 @@ object CdcStream {
     * tests and batch-style backfills). */
   def runAvailable(spark: SparkSession, eventLogGlob: String,
                    checkpointDir: String, routes: Seq[Route],
-                   salts: Int = 0, maxFilesPerTrigger: Int = 1): Unit = {
+                   salts: Int = 0, maxFilesPerTrigger: Int = 1,
+                   format: String = "parquet"): Unit = {
     val q = start(spark, eventLogGlob, checkpointDir, routes, salts,
-      maxFilesPerTrigger, Trigger.AvailableNow())
+      maxFilesPerTrigger, Trigger.AvailableNow(), format)
     q.awaitTermination()
   }
 }

@@ -90,6 +90,56 @@ class PgOutputSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("19-bit"))
   }
 
+  test("pgoutput stream: crash window between lake commit and checkpoint " +
+    "commit replays exactly-once") {
+    import spark.implicits._
+    import graft.streaming.CdcStream
+    val dir = SparkTestBase.tmpDir("pgocrash")
+    def chunkFile(i: Int, lsn: Long, id: Long, body: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/wal/c-$i%03d.bin"),
+        Wire.chunk(Seq(rel, Wire.begin(lsn, lsn.toInt),
+          Wire.insert(relId, Seq(Some(id.toString), Some(body), Some("1"))),
+          Wire.commit(lsn))))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wal"))
+    chunkFile(0, 10L, 1, "one")
+    chunkFile(1, 20L, 2, "two")
+    val spec = TableSpec("notes", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("body", StringType, nullable = true),
+      StructField("n", IntegerType, nullable = true))),
+      keyCols = Seq("id"), bucketCols = Seq("id"), numBuckets = 4)
+    val lake = LakeTable.create(spark, s"$dir/notes", spec)
+    val routes = Seq(CdcStream.Route(TableMapping("notes", "notes"), lake))
+    CdcStream.runAvailable(spark, s"$dir/wal/c-*.bin", s"$dir/ckpt", routes,
+      format = "pgoutput")
+    assert(lake.read().count() == 2)
+    val epoch1 = lake.snapshot().properties("commit-epoch").toLong
+    val v1 = lake.currentVersion
+
+    // crash window: the lake commit survived, the stream's checkpoint
+    // commit was lost — Spark redelivers the last chunk on restart and the
+    // epoch check must skip it (same contract as the parquet source)
+    val commitsDir = java.nio.file.Paths.get(s"$dir/ckpt/commits")
+    val last = graft.lake.LakeTable.listDir(commitsDir)(
+      _.filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq)
+      .sortBy(_.getFileName.toString.toLong).last
+    java.nio.file.Files.delete(last)
+    java.nio.file.Files.deleteIfExists(
+      last.resolveSibling(s".${last.getFileName}.crc"))
+    CdcStream.runAvailable(spark, s"$dir/wal/c-*.bin", s"$dir/ckpt", routes,
+      format = "pgoutput")
+    assert(lake.currentVersion == v1, "replayed chunk must be epoch-skipped")
+    assert(lake.read().count() == 2, "no duplicates from the crash window")
+
+    // late chunk: the same checkpoint resumes and drains only the new file
+    chunkFile(2, 30L, 3, "three")
+    CdcStream.runAvailable(spark, s"$dir/wal/c-*.bin", s"$dir/ckpt", routes,
+      format = "pgoutput")
+    assert(lake.read().count() == 3)
+    assert(lake.snapshot().properties("commit-epoch").toLong > epoch1)
+  }
+
   test("chunks decode independently and apply through the engine end-to-end") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("pgout")
