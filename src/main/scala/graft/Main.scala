@@ -85,6 +85,12 @@ object Main {
         .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
+    // publish the layered compaction threshold to the shared knob so the
+    // inline merge compaction (Replay), the signature-store merge, and the
+    // maintenance loop below all honor the SAME cap (flags/env/file win
+    // over the code default through ProcessConfig's layering)
+    graft.config.Knobs.compactFileCap = cfg.compactFileCap
+
     val static = cfg.specsFile.map(ProcessConfig.loadSpecs).getOrElse(Map.empty)
     val specs = new DynamicSpecs(static, spark, cfg.targetsRoot)
 
@@ -147,7 +153,7 @@ object Main {
                       .vacuumUnderLock(spark, root, cfg.vacuumRetain)
                     val buckets = graft.streaming.CdcStream
                       .compactUnderLock(spark, root,
-                        maxFilesPerBucket = 8)
+                        maxFilesPerBucket = cfg.compactFileCap)
                     if (manifests + files + buckets > 0)
                       System.err.println(s"[maintenance] $name: expired " +
                         s"$manifests manifests, reclaimed $files files, " +

@@ -33,6 +33,7 @@ object SparkEntry {
     // --- CDC engine (events table interpreted as a change log) ---
     "cdc_replay_clone" -> EventsCdc.qClone,
     "cdc_pgoutput_replay" -> EventsCdc.qPgoutputReplay,
+    "cdc_pgoutput_replay_v2" -> EventsCdc.qPgoutputReplayV2,
     "cdc_replay_filter" -> EventsCdc.qFilter,
     "cdc_replay_set" -> EventsCdc.qSet,
     "cdc_replay_pkupdate" -> EventsCdc.qPkUpdate,
@@ -81,6 +82,9 @@ object SparkEntry {
     "cdc_replay_clone" -> EventsCdc.cloneOracle(),
     // the pgoutput wire round-trip must converge to the identical state
     "cdc_pgoutput_replay" -> EventsCdc.cloneOracle(),
+    // protocol-v2 streamed rendering (interleaved blocks, abort decoys)
+    // must ALSO converge to the identical state
+    "cdc_pgoutput_replay_v2" -> EventsCdc.cloneOracle(),
     "cdc_replay_filter" -> EventsCdc.cloneOracle(filterSql = "value > 10"),
     "cdc_replay_set" -> EventsCdc.setOracle,
     "cdc_replay_pkupdate" -> EventsCdc.cloneOracle(pkUpdate = true),

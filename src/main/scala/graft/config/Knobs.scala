@@ -1,0 +1,23 @@
+package graft.config
+
+/** Process-wide runtime knobs shared by engine internals that are not
+  * parameterized per call site (the merge paths run deep inside
+  * `foreachBatch`, where threading a config through every layer would put
+  * a plumbing-only parameter on a half-dozen signatures).
+  *
+  * Each knob initializes from its `GRAFT_*` environment variable (the
+  * library-embedding path: tests, Bench, Verify) and is overridden once at
+  * boot by [[ProcessConfig]] when the process entry point (`graft.Main`)
+  * runs — so `--compact-file-cap` / `compact_file_cap` / the env var all
+  * steer the SAME threshold in every reader: the inline compaction inside
+  * `Replay.mergeApply`, the signature-store merge, the admin compact
+  * endpoint's default, and Main's periodic maintenance loop.
+  */
+object Knobs {
+
+  /** Max data files per bucket before a merge disables zone pruning for
+    * that bucket (rewriting it into O(1) files — inline compaction), and
+    * the bucket-count threshold maintenance/admin compaction targets. */
+  @volatile var compactFileCap: Int =
+    sys.env.getOrElse("GRAFT_COMPACT_FILE_CAP", "8").toInt
+}

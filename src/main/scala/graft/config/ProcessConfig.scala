@@ -42,7 +42,12 @@ final case class ProcessConfig(
     // 10^10 events otherwise accumulates manifests/files without bound.
     // <= 0 disables (drain mode and tests).
     maintenanceIntervalSec: Long = -1L,
-    vacuumRetain: Int = 8)
+    vacuumRetain: Int = 8,
+    // ONE compaction threshold for every reader (maintenance loop, inline
+    // merge compaction, signature-store merge): resolved through the same
+    // defaults < file < env (GRAFT_COMPACT_FILE_CAP) < flags layering and
+    // published to graft.config.Knobs at serve() time
+    compactFileCap: Int = Knobs.compactFileCap)
 
 object ProcessConfig {
 
@@ -51,7 +56,8 @@ object ProcessConfig {
   private val keys = Seq("map_file", "targets_root", "checkpoint_root",
     "specs_file", "admin_port", "metrics_port", "jwt_key", "master",
     "shuffle_partitions", "salts", "max_files_per_trigger", "trigger_ms",
-    "drain", "maintenance_interval_sec", "vacuum_retain")
+    "drain", "maintenance_interval_sec", "vacuum_retain",
+    "compact_file_cap")
 
   /** Resolve the config from `args` + `env` (+ the settings file named by
     * `--config`/GRAFT_CONFIG, if any). */
@@ -101,11 +107,22 @@ object ProcessConfig {
     // so an unrecognized GRAFT_* gets a loud WARNING instead of a hard
     // failure — a typo'd GRAFT_MAP_FIL must not silently fall back
     val runtimeKnobs = Set("GRAFT_CONFIG", "GRAFT_TIMING", "GRAFT_OCCUPANCY",
-      "GRAFT_OCCUPANCY_CAP", "GRAFT_CANDIDATE_CAP", "GRAFT_METRICS_DIR",
-      "GRAFT_COMPACT_FILE_CAP", "GRAFT_ZONE_STATS", "GRAFT_CALIBRATE",
+      "GRAFT_CANDIDATE_CAP", "GRAFT_METRICS_DIR",
+      "GRAFT_ZONE_STATS", "GRAFT_CALIBRATE",
       "GRAFT_MASTER", "GRAFT_AQE", "GRAFT_WORK_BASE", "GRAFT_PLANS_FULL",
       "GRAFT_SALTS")
-    val knownEnv = keys.map(k => "GRAFT_" + k.toUpperCase).toSet ++ runtimeKnobs
+    // renamed/retired knobs: still recognized (no "unrecognized" warning,
+    // which would be misleading) but called out explicitly — a deployment
+    // still setting the old name gets neither effect nor silence
+    val deprecatedKnobs = Map(
+      "GRAFT_OCCUPANCY_CAP" -> "GRAFT_CANDIDATE_CAP")
+    deprecatedKnobs.foreach { case (old, now) =>
+      if (env.contains(old))
+        System.err.println(s"[config] WARNING: '$old' is deprecated and has " +
+          s"no effect — set '$now' instead")
+    }
+    val knownEnv = keys.map(k => "GRAFT_" + k.toUpperCase).toSet ++
+      runtimeKnobs ++ deprecatedKnobs.keySet
     env.keys.filter(k => k.startsWith("GRAFT_") && !knownEnv.contains(k))
       .foreach(k => System.err.println(
         s"[config] WARNING: unrecognized environment variable '$k' is " +
@@ -138,7 +155,8 @@ object ProcessConfig {
       drain = bool("drain", dflt.drain),
       maintenanceIntervalSec = get("maintenance_interval_sec").map(_.toLong)
         .getOrElse(dflt.maintenanceIntervalSec),
-      vacuumRetain = int("vacuum_retain", dflt.vacuumRetain))
+      vacuumRetain = int("vacuum_retain", dflt.vacuumRetain),
+      compactFileCap = int("compact_file_cap", dflt.compactFileCap))
   }
 
   /** Load target TableSpecs from a specs file — the declarative schema

@@ -459,8 +459,9 @@ object Replay {
     // accumulates small files. Once a touched bucket exceeds the cap, its
     // zone pruning is disabled for this merge, so the whole bucket
     // rewrites into O(1) files — inline compaction with write
-    // amplification bounded by the cap. (GRAFT_COMPACT_FILE_CAP, def. 8.)
-    val fileCap = sys.env.getOrElse("GRAFT_COMPACT_FILE_CAP", "8").toInt
+    // amplification bounded by the cap. (Knobs.compactFileCap — the
+    // GRAFT_COMPACT_FILE_CAP / --compact-file-cap layered knob, def. 8.)
+    val fileCap = graft.config.Knobs.compactFileCap
     val perBucket = snap.files.groupBy(_.bucket).view.mapValues(_.size).toMap
     val fragmented: Set[Int] =
       if (zones.isEmpty) Set.empty

@@ -169,7 +169,7 @@ object SignatureStore {
       // cap loses its zone pruning for this merge, so the whole bucket
       // rewrites into O(1) files — bounding the small-file accumulation
       // zone pruning would otherwise cause
-      val fileCap = sys.env.getOrElse("GRAFT_COMPACT_FILE_CAP", "8").toInt
+      val fileCap = graft.config.Knobs.compactFileCap
       val perBucket = snap.files.groupBy(_.bucket).view.mapValues(_.size).toMap
       val fragmented: Set[Int] =
         if (zones.isEmpty) Set.empty

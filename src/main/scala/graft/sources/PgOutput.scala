@@ -106,11 +106,44 @@ object PgOutput {
     val relations = scala.collection.mutable.Map[Int, Relation]()
     var txnLsn: Long = 0L
     var seq: Int = 0
+    /** Inside a Begin..Commit frame run. Relation messages OUTSIDE any
+      * transaction are the chunk writer's registry prefix: they update the
+      * decoder registry but emit NO engine event (their position carries no
+      * wire ordering — stamping them (0, seq) would repeat identical ords
+      * in every chunk and any positive heal floor would filter them). */
+    var inTxn: Boolean = false
+    /** Inside a StreamStart..StreamStop block (protocol v2: in-progress
+      * transactions stream in interleavable blocks; DML/Relation/Truncate/
+      * Type/Message frames carry an xid prefix while streamed). */
+    var inStream: Boolean = false
+    /** Top-level xid of the current stream block (StreamStart's xid). */
+    var streamTop: Int = 0
+    /** Buffered changes of in-progress streamed transactions, keyed by the
+      * TOP-LEVEL xid; each entry keeps the FRAME's xid (the immediate
+      * subtransaction that produced the change) so StreamAbort(top, sub)
+      * can truncate from the subtransaction's first change — the same
+      * discipline as the PG apply worker's subxact offsets. Events are
+      * buffered with placeholder (lsn=0, seq=0): the final position is
+      * unknowable until StreamCommit supplies the commit LSN. */
+    val streams = scala.collection.mutable.LinkedHashMap[
+      Int, scala.collection.mutable.ArrayBuffer[(Int, ChangeEvent)]]()
   }
 
+  /** Hard ceiling on per-transaction event count: the engine's ord packing
+    * ((lsn << 20) | (seq << 1) | sub, Replay.packOrd) carries seq in 19
+    * bits; overflowing would bleed into the lsn field and silently corrupt
+    * ordering AND the applied-ord heal watermark — fail loudly instead (a
+    * transaction this large must be chunked upstream). */
+  private val SeqMax = (1 << 19) - 1
+
   /** Decode one pgoutput message; returns the engine events it yields, if
-    * any (Begin/Commit/Origin/Message/Type frames only move decoder
-    * state). */
+    * any. Begin/Commit/Origin/Message/Type frames only move decoder state;
+    * protocol-v2 stream frames (StreamStart 'S' / StreamStop 'E' /
+    * StreamCommit 'c' / StreamAbort 'A', requested by the reference on
+    * PG >= 14 via `replicate_database.go:20-41` and parsed in
+    * `process_message.go:168-180`) buffer in-progress transactions and
+    * release them — in commit order, at the commit LSN — or discard them
+    * on abort. */
   private def message(payload: Array[Byte], sid: String,
                       st: State): Seq[ChangeEvent] = {
     val b = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
@@ -120,79 +153,134 @@ object PgOutput {
           "(writer must prefix each chunk with the Relation registry)"))
     def nextSeq(): Int = {
       val s = st.seq
-      // the engine's ord packing ((lsn << 20) | (seq << 1) | sub,
-      // Replay.packOrd) carries seq in 19 bits; overflowing would bleed
-      // into the lsn field and silently corrupt ordering AND the
-      // applied-ord heal watermark — fail loudly instead (a transaction
-      // this large must be chunked upstream)
-      if (s >= (1 << 19) - 1)
+      if (s >= SeqMax)
         throw new IllegalArgumentException(
-          s"transaction at lsn ${st.txnLsn} exceeds ${(1 << 19) - 1} events — " +
+          s"transaction at lsn ${st.txnLsn} exceeds $SeqMax events — " +
             "seq would overflow the engine's 19-bit ord field")
       st.seq += 1
       s
     }
-    b.get().toChar match {
+    val tag = b.get().toChar
+    tag match {
       case 'B' => // Begin: finalLSN(8) ts(8) xid(4)
-        st.txnLsn = b.getLong(); st.seq = 0; Nil
-      case 'C' => Nil // Commit: flags(1) commitLSN(8) endLSN(8) ts(8)
-      case 'R' => // Relation
-        val id = b.getInt()
-        val ns = cstring(b)
-        val name = cstring(b)
-        val replIdent = b.get().toChar
-        val ncols = b.getShort().toInt
-        val cols = (0 until ncols).map { _ =>
-          b.get() // per-column flags (1 = part of key)
-          val cname = cstring(b)
-          val typeOid = b.getInt()
-          b.getInt() // typmod
-          (cname, typeOid)
-        }
-        val full = if (ns == "public" || ns.isEmpty) name else s"$ns.$name"
-        st.relations(id) = Relation(id, full, replIdent,
-          cols.map(_._1), cols.map(_._2))
-        // surface as the engine's 'R' event: column -> type-name map, the
-        // shape Replay.evolveSchema consumes (schema evolution before merge)
-        Seq(ChangeEvent(st.txnLsn, nextSeq(), "R", full, sid, "none",
-          Map.empty, cols.map { case (c, o) => c -> typeNameOf(o) }.toMap))
-      case 'I' => // Insert: relid(4) 'N' tuple
-        val r = rel(b.getInt())
-        require(b.get().toChar == 'N')
-        Seq(ChangeEvent(st.txnLsn, nextSeq(), "I", r.name, sid, "none",
-          Map.empty, tuple(b, r.columns)))
-      case 'U' => // Update: relid(4) ['K'|'O' oldtuple] 'N' newtuple
-        val r = rel(b.getInt())
-        var oldKind = "none"
-        var before = Map.empty[String, String]
-        var tag = b.get().toChar
-        if (tag == 'K' || tag == 'O') {
-          oldKind = if (tag == 'K') "K" else "O"
-          before = tuple(b, r.columns)
-          tag = b.get().toChar
-        }
-        require(tag == 'N', s"update tag '$tag'")
-        Seq(ChangeEvent(st.txnLsn, nextSeq(), "U", r.name, sid, oldKind,
-          before, tuple(b, r.columns)))
-      case 'D' => // Delete: relid(4) 'K'|'O' oldtuple
-        val r = rel(b.getInt())
-        val tag = b.get().toChar
-        require(tag == 'K' || tag == 'O', s"delete tag '$tag'")
-        Seq(ChangeEvent(st.txnLsn, nextSeq(), "D", r.name, sid,
-          if (tag == 'K') "K" else "O", tuple(b, r.columns), Map.empty))
-      case 'T' => // Truncate: nrel(4) options(1) relids — one event PER
-        // relation (a TRUNCATE a, b CASCADE names them all; collapsing to
-        // the first would lose the rest's identity) — parsed, W8 no-op
-        val n = b.getInt()
+        st.txnLsn = b.getLong(); st.seq = 0; st.inTxn = true; Nil
+      case 'C' => // Commit: flags(1) commitLSN(8) endLSN(8) ts(8)
+        st.inTxn = false; Nil
+
+      // ---- protocol v2: streamed in-progress transactions ----
+      case 'S' => // StreamStart: xid(4) first-segment(1)
+        val xid = b.getInt()
         b.get()
-        (0 until n).map { _ =>
-          ChangeEvent(st.txnLsn, nextSeq(), "T", rel(b.getInt()).name, sid,
-            "none", Map.empty, Map.empty)
+        st.inStream = true
+        st.streamTop = xid
+        st.streams.getOrElseUpdate(xid,
+          scala.collection.mutable.ArrayBuffer.empty)
+        Nil
+      case 'E' => // StreamStop: no content
+        st.inStream = false; Nil
+      case 'c' => // StreamCommit: xid(4) flags(1) commitLSN(8) endLSN(8) ts(8)
+        val xid = b.getInt()
+        b.get(); val commitLsn = b.getLong(); b.getLong(); b.getLong()
+        // an unknown xid is an EMPTY streamed txn (all blocks aborted away)
+        val buf = st.streams.remove(xid).getOrElse(
+          scala.collection.mutable.ArrayBuffer.empty)
+        if (buf.length > SeqMax)
+          throw new IllegalArgumentException(
+            s"streamed transaction $xid carries ${buf.length} events — " +
+              "seq would overflow the engine's 19-bit ord field")
+        buf.toSeq.zipWithIndex.map { case ((_, ev), i) =>
+          ev.copy(lsn = commitLsn, seq = i)
         }
+      case 'A' => // StreamAbort: xid(4) subxid(4)
+        val xid = b.getInt()
+        val sub = b.getInt()
+        if (sub == xid) st.streams.remove(xid) // whole txn rolled back
+        else st.streams.get(xid).foreach { buf =>
+          // subtransaction abort: its changes are the buffered tail from
+          // its first frame onward (stream order is WAL order and the
+          // abort record closes the subxact) — truncate exactly there,
+          // like the PG apply worker's subxact-offset truncation
+          val at = buf.indexWhere(_._1 == sub)
+          if (at >= 0) buf.remove(at, buf.length - at)
+        }
+        Nil
+
       // Origin ('O') / logical-decoding Message ('M') / Type ('Y', sent
       // for custom/extension-typed columns before their Relation): no
-      // engine event — parsed-and-skipped, never a decode failure
+      // engine event — parsed-and-skipped (their v2 in-stream xid prefix
+      // is skipped with the rest of the body), never a decode failure
       case 'O' | 'M' | 'Y' => Nil
+
+      case 'R' | 'I' | 'U' | 'D' | 'T' =>
+        // v2: while a stream block is open, content frames carry the xid
+        // of the (sub)transaction that produced them right after the type
+        val frameXid = if (st.inStream) b.getInt() else 0
+        val bare: Seq[ChangeEvent] = tag match {
+          case 'R' => // Relation
+            val id = b.getInt()
+            val ns = cstring(b)
+            val name = cstring(b)
+            val replIdent = b.get().toChar
+            val ncols = b.getShort().toInt
+            val cols = (0 until ncols).map { _ =>
+              b.get() // per-column flags (1 = part of key)
+              val cname = cstring(b)
+              val typeOid = b.getInt()
+              b.getInt() // typmod
+              (cname, typeOid)
+            }
+            val full = if (ns == "public" || ns.isEmpty) name else s"$ns.$name"
+            st.relations(id) = Relation(id, full, replIdent,
+              cols.map(_._1), cols.map(_._2))
+            if (!st.inTxn && !st.inStream) Nil // registry prefix: state only
+            else
+              // surface as the engine's 'R' event: column -> type-name map,
+              // the shape Replay.evolveSchema consumes (evolve-before-merge)
+              Seq(ChangeEvent(0L, 0, "R", full, sid, "none", Map.empty,
+                cols.map { case (c, o) => c -> typeNameOf(o) }.toMap))
+          case 'I' => // Insert: relid(4) 'N' tuple
+            val r = rel(b.getInt())
+            require(b.get().toChar == 'N')
+            Seq(ChangeEvent(0L, 0, "I", r.name, sid, "none",
+              Map.empty, tuple(b, r.columns)))
+          case 'U' => // Update: relid(4) ['K'|'O' oldtuple] 'N' newtuple
+            val r = rel(b.getInt())
+            var oldKind = "none"
+            var before = Map.empty[String, String]
+            var t = b.get().toChar
+            if (t == 'K' || t == 'O') {
+              oldKind = if (t == 'K') "K" else "O"
+              before = tuple(b, r.columns)
+              t = b.get().toChar
+            }
+            require(t == 'N', s"update tag '$t'")
+            Seq(ChangeEvent(0L, 0, "U", r.name, sid, oldKind,
+              before, tuple(b, r.columns)))
+          case 'D' => // Delete: relid(4) 'K'|'O' oldtuple
+            val r = rel(b.getInt())
+            val t = b.get().toChar
+            require(t == 'K' || t == 'O', s"delete tag '$t'")
+            Seq(ChangeEvent(0L, 0, "D", r.name, sid,
+              if (t == 'K') "K" else "O", tuple(b, r.columns), Map.empty))
+          case 'T' => // Truncate: nrel(4) options(1) relids — one event PER
+            // relation (a TRUNCATE a, b CASCADE names them all; collapsing
+            // to the first would lose the rest's identity) — parsed, W8
+            // no-op
+            val n = b.getInt()
+            b.get()
+            (0 until n).map { _ =>
+              ChangeEvent(0L, 0, "T", rel(b.getInt()).name, sid,
+                "none", Map.empty, Map.empty)
+            }
+        }
+        if (st.inStream) {
+          // in-progress transaction: park under the block's TOP-LEVEL xid
+          // with the frame's own xid for subxact-abort truncation; the
+          // commit LSN stamps them on StreamCommit
+          st.streams(st.streamTop) ++= bare.map((frameXid, _))
+          Nil
+        } else bare.map(ev => ev.copy(lsn = st.txnLsn, seq = nextSeq()))
+
       case m => throw new IllegalArgumentException(s"pgoutput message '$m'")
     }
   }
@@ -209,6 +297,16 @@ object PgOutput {
       b.get(payload)
       out ++= message(payload, sid, st)
     }
+    // self-containment (the property that lets chunks decode independently
+    // and in parallel) extends to streamed transactions: a chunk must
+    // carry each streamed txn through its StreamCommit/StreamAbort, or its
+    // buffered changes would be silently dropped here and double-decoded
+    // nowhere — fail loudly at the writer's door instead
+    if (st.streams.nonEmpty)
+      throw new IllegalStateException(
+        s"chunk ended with in-progress streamed transaction(s) xid=" +
+          st.streams.keys.mkString(",") +
+          " — writer must roll chunks at stream-commit/abort boundaries")
     out.result()
   }
 
@@ -229,12 +327,22 @@ object PgOutput {
     * source enumerates chunk files exactly like the parquet event log
     * (checkpoint offset = files consumed = the slot ack), each file decodes
     * as one self-contained unit, and maxFilesPerTrigger is the same
-    * batching knob. The sid is left empty — the orchestrator stamps the
-    * config-assigned sid per route (it is not wire data). */
-  def readChunksStream(spark: SparkSession, glob: String,
+    * batching knob.
+    *
+    * The sid is REQUIRED: it is config data, not wire data (the reference
+    * assigns it per source URL, `map.go:17-43`). The orchestrated path
+    * re-stamps it per route (`CdcStream.Route.sidOverride`), so it passes
+    * the route sid here as a harmless placeholder; a direct caller passing
+    * "" into a sid-bearing target would silently ingest empty-tenant rows,
+    * hence the loud warning. */
+  def readChunksStream(spark: SparkSession, glob: String, sid: String,
                        maxFilesPerTrigger: Int = 1): Dataset[ChangeEvent] = {
     import org.apache.spark.sql.types._
     import spark.implicits._
+    if (sid.isEmpty)
+      System.err.println("[pgoutput] WARNING: readChunksStream with an " +
+        s"empty sid over '$glob' — rows will carry sid='' unless every " +
+        "route re-stamps it (CdcStream.Route.sidOverride)")
     // binaryFile's fixed schema, spelled out: the streaming source requires
     // an explicit schema (no inference pass over existing files)
     val binarySchema = StructType(Seq(
@@ -245,7 +353,7 @@ object PgOutput {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(glob)
       .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (_, bytes) => decodeChunk(bytes, "") }
+      .flatMap { case (_, bytes) => decodeChunk(bytes, sid) }
   }
 
   // ---------------------------------------------------------------------
@@ -324,6 +432,37 @@ object PgOutput {
     def typeMsg(oid: Int, ns: String, name: String): Array[Byte] = {
       val o = buf(); o.write('Y'); be32(o, oid); cstr(o, ns); cstr(o, name)
       o.toByteArray
+    }
+
+    // ---- protocol v2: streamed in-progress transactions ----
+
+    /** StreamStart ('S'): xid(4) first-segment(1). */
+    def streamStart(xid: Int, first: Boolean = true): Array[Byte] = {
+      val o = buf(); o.write('S'); be32(o, xid); o.write(if (first) 1 else 0)
+      o.toByteArray
+    }
+    /** StreamStop ('E'): no content. */
+    def streamStop(): Array[Byte] = {
+      val o = buf(); o.write('E'); o.toByteArray
+    }
+    /** StreamCommit ('c'): xid(4) flags(1) commitLSN(8) endLSN(8) ts(8). */
+    def streamCommit(xid: Int, lsn: Long): Array[Byte] = {
+      val o = buf(); o.write('c'); be32(o, xid); o.write(0)
+      be64(o, lsn); be64(o, lsn); be64(o, 0L); o.toByteArray
+    }
+    /** StreamAbort ('A'): xid(4) subxid(4) — subxid == xid aborts the whole
+      * transaction; otherwise just the named subtransaction's changes. */
+    def streamAbort(xid: Int, subXid: Int): Array[Byte] = {
+      val o = buf(); o.write('A'); be32(o, xid); be32(o, subXid)
+      o.toByteArray
+    }
+    /** Add the v2 in-stream xid prefix to a content message (Relation /
+      * Type / Insert / Update / Delete / Truncate / Message built by the
+      * plain builders above): type byte, then xid(4), then the body —
+      * exactly how the wire carries them between StreamStart/StreamStop. */
+    def streamed(xid: Int, msg: Array[Byte]): Array[Byte] = {
+      val o = buf(); o.write(msg(0)); be32(o, xid)
+      o.write(msg, 1, msg.length - 1); o.toByteArray
     }
 
     /** Frame messages into one self-contained chunk (length-prefixed). */

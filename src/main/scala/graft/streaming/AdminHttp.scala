@@ -39,10 +39,14 @@ import javax.crypto.spec.SecretKeySpec
   * `/api/db/{db}/tbl/{src}` — the reference's `/api/url/{id}` /
   * `/api/map/{id}`, `api.go:319-342`), PUT-for-update of URLs
   * (`handle_url.go`), `/api/status` (deployment summary gate), and CORS
-  * headers + OPTIONS preflight (the reference's CORS middleware). Every
-  * path-bearing name is validated against a safe-identifier pattern
-  * before touching the filesystem or map, and every response body is
-  * Jackson-serialized (request-supplied strings escape correctly).
+  * headers + OPTIONS preflight (the reference's CORS middleware; emitted
+  * only when JWT auth is configured — a wildcard origin on an auth-free
+  * dev-mode API would hand any local web page a cross-origin mutation
+  * channel). Every path-bearing name is validated against a
+  * safe-identifier pattern before touching the filesystem or map —
+  * including every db/sid/table/target inside a bulk PUT /api/map body —
+  * and every response body is Jackson-serialized (request-supplied
+  * strings escape correctly).
   *
   * Auth mirrors `handle_auth.go` + `TokenValidationMiddleware`
   * (`api.go:264-296`): Bearer JWT, HS256 only (any other alg rejected),
@@ -153,12 +157,17 @@ object AdminHttp {
       val b = body.getBytes(UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
       // CORS (the reference serves its UI cross-origin through the same
-      // middleware, api.go CORS handler)
-      ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
-      ex.getResponseHeaders.add("Access-Control-Allow-Methods",
-        "GET, POST, PUT, DELETE, OPTIONS")
-      ex.getResponseHeaders.add("Access-Control-Allow-Headers",
-        "Authorization, Content-Type")
+      // middleware, api.go CORS handler) — emitted ONLY when JWT auth is
+      // configured: with auth off (dev mode), a wildcard origin would let
+      // any web page in a browser on the operator's machine send
+      // cross-origin mutations to this loopback API and read the responses
+      if (jwtKey.isDefined) {
+        ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+        ex.getResponseHeaders.add("Access-Control-Allow-Methods",
+          "GET, POST, PUT, DELETE, OPTIONS")
+        ex.getResponseHeaders.add("Access-Control-Allow-Headers",
+          "Authorization, Content-Type")
+      }
       ex.sendResponseHeaders(status, b.length)
       val os = ex.getResponseBody
       try os.write(b) finally os.close()
@@ -222,7 +231,19 @@ object AdminHttp {
           case ("PUT", List("api", "map")) =>
             val m = try MapConfig.parse(mapper.writeValueAsString(body(ex)))
               catch { case e: Exception => fail(400, "bad_map", e.getMessage) }
-            m.databases.foreach(db => MapConfig.mappings(db)) // mode validation
+            // the bulk upload must enforce the SAME safe-name validation as
+            // every per-entity endpoint: db/sid/table/target names end up in
+            // filesystem paths (s"$targetsRoot/$target"), so an unchecked
+            // '../../x' here would traverse out of the targets root
+            m.databases.foreach { db =>
+              checkName("db", db.name)
+              db.urls.foreach(u => checkName("sid", u.sid))
+              MapConfig.mappings(db).foreach { mp => // also validates modes
+                checkName("table", mp.sourceTable)
+                checkName("target", mp.target)
+                MapConfig.signatureTarget(db, mp).foreach(checkName("target", _))
+              }
+            }
             editLock.synchronized { writeMap(mapPath, m) }
             respond(ex, 200, obj("updated" -> "map"))
 
@@ -363,7 +384,8 @@ object AdminHttp {
             checkName("target", target)
             val root = s"$targetsRoot/$target"
             if (!LakeTable.exists(root)) fail(404, "not_found", target)
-            val cap = intParam(ex, "max_files_per_bucket", default = 8, min = 1)
+            val cap = intParam(ex, "max_files_per_bucket",
+              default = graft.config.Knobs.compactFileCap, min = 1)
             val buckets = CdcStream.compactUnderLock(spark, root, cap)
             respond(ex, 200, obj("compacted" -> target, "buckets" -> buckets))
 

@@ -111,8 +111,16 @@ object CdcStream {
           .option("maxFilesPerTrigger", maxFilesPerTrigger)
           .parquet(eventLogGlob)
       case "pgoutput" =>
+        // sid is config data (not wire data): when every route re-stamps
+        // it, the source-level value is a dead placeholder; a route
+        // WITHOUT an override would really ingest the source-level sid,
+        // so pass "" and let the decoder warn loudly
+        val srcSid =
+          if (routes.nonEmpty && routes.forall(_.sidOverride.isDefined))
+            routes.head.sidOverride.get
+          else ""
         graft.sources.PgOutput.readChunksStream(spark, eventLogGlob,
-          maxFilesPerTrigger).toDF()
+          srcSid, maxFilesPerTrigger).toDF()
       case other =>
         throw new IllegalArgumentException(s"unknown event-log format '$other'")
     }

@@ -153,7 +153,23 @@ object EventsCdc {
     * `PgOutput.decodeChunk` -> the merge). Oracle equality proves the wire
     * encode/decode is lossless end to end: op kinds, present-vs-NULL
     * values, unchanged-TOAST absence, (lsn, seq) assignment. */
-  def qPgoutputReplay(spark: SparkSession, dir: String): DataFrame = {
+  def qPgoutputReplay(spark: SparkSession, dir: String): DataFrame =
+    pgoutputRoundTrip(spark, dir, v2 = false)
+
+  /** The SAME round-trip with the change log rendered as PROTOCOL V2
+    * streamed in-progress transactions (`proto_version '2'`, requested by
+    * the reference on PG >= 14, `replicate_database.go:20-41`): stream
+    * blocks of concurrent transactions interleave, commits arrive out of
+    * start order, whole-transaction abort decoys carry poison rows that
+    * must vanish, and every 7th transaction smuggles its poison through an
+    * aborted SUBtransaction while its real change must survive. Oracle
+    * equality (the same clone oracle) proves the v2 buffering, commit-LSN
+    * stamping, and both abort paths are lossless end to end. */
+  def qPgoutputReplayV2(spark: SparkSession, dir: String): DataFrame =
+    pgoutputRoundTrip(spark, dir, v2 = true)
+
+  private def pgoutputRoundTrip(spark: SparkSession, dir: String,
+                                v2: Boolean): DataFrame = {
     import graft.sources.PgOutput.Wire
     val cols = outCols
     val relId = 1
@@ -164,21 +180,58 @@ object EventsCdc {
       cols.map(c => m.get(c).flatMap(Option(_))) // absent OR null -> None
     def absentIdx(m: Map[String, String]): Set[Int] =
       cols.zipWithIndex.collect { case (c, i) if !m.contains(c) => i }.toSet
+    def dml(e: ChangeEvent): Array[Byte] = e.op match {
+      case "I" => Wire.insert(relId, vals(e.after))
+      case "U" => Wire.update(relId, vals(e.after),
+        toastAbsent = absentIdx(e.after))
+      case "D" => Wire.delete(relId, 'K', vals(e.before))
+    }
+    // a row that would corrupt the converged state if an abort ever leaked
+    def poison(e: ChangeEvent): Array[Byte] =
+      Wire.update(relId, vals((e.before ++ e.after) + // D carries key in before
+        ("event_type" -> "POISON", "value" -> "-999.0")))
+    // the rendering below is the CAPTURE-TOOL stand-in (single-threaded at
+    // the socket in production too); at larger fixture scale factors it —
+    // not the engine — is the bottleneck, and a real tool would roll chunk
+    // files incrementally instead of materializing the log (WalTailer does)
     val events = derive(spark, dir).collect().sortBy(e => (e.lsn, e.seq))
     val tmp = Files.createTempDirectory("graft-pgo").toString
     val maxLsn = events.map(_.lsn).max
     val per = maxLsn / Batches + 1
     (0 until Batches).foreach { b =>
       val lo = b * per; val hi = lo + per
-      val msgs = events.filter(e => e.lsn >= lo && e.lsn < hi).flatMap { e =>
-        val body = e.op match {
-          case "I" => Wire.insert(relId, vals(e.after))
-          case "U" => Wire.update(relId, vals(e.after),
-            toastAbsent = absentIdx(e.after))
-          case "D" => Wire.delete(relId, 'K', vals(e.before))
+      val batch = events.filter(e => e.lsn >= lo && e.lsn < hi)
+      val msgs: Seq[Array[Byte]] =
+        if (!v2) batch.toSeq.flatMap { e =>
+          Seq(Wire.begin(e.lsn, e.lsn.toInt), dml(e), Wire.commit(e.lsn))
         }
-        Seq(Wire.begin(e.lsn, e.lsn.toInt), body, Wire.commit(e.lsn))
-      }
+        else batch.grouped(2).toSeq.flatMap { pair =>
+          // interleave the pair's stream blocks, commit in REVERSE start
+          // order — the decoder must stamp each at its own commit LSN
+          val blocks = pair.toSeq.flatMap { e =>
+            val xid = e.lsn.toInt
+            val body: Seq[Array[Byte]] =
+              if (e.lsn % 7 == 0)
+                // real change under the top xid, poison under a subxact
+                // that aborts before commit
+                Seq(Wire.streamed(xid, dml(e)),
+                  Wire.streamed(xid + 0x20000000, poison(e)))
+              else Seq(Wire.streamed(xid, dml(e)))
+            Wire.streamStart(xid) +: body :+ Wire.streamStop()
+          }
+          val aborts = pair.toSeq.collect { case e if e.lsn % 7 == 0 =>
+            Wire.streamAbort(e.lsn.toInt, e.lsn.toInt + 0x20000000) }
+          val commits = pair.reverse.map(e =>
+            Wire.streamCommit(e.lsn.toInt, e.lsn))
+          // plus a whole-transaction abort decoy riding along
+          val decoyXid = pair.head.lsn.toInt | 0x40000000
+          val decoy = Seq(
+            Wire.streamStart(decoyXid),
+            Wire.streamed(decoyXid, poison(pair.head)),
+            Wire.streamStop(),
+            Wire.streamAbort(decoyXid, decoyXid))
+          blocks ++ decoy ++ aborts ++ commits
+        }
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/wal"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"$tmp/wal/chunk-$b%03d.bin"),

@@ -245,9 +245,11 @@ class AdminHttpSpec extends AnyFunSuite {
       assert(st.statusCode() == 200 &&
         st.body().contains("\"databases\":1") &&
         st.body().contains("\"tables\":1"), st.body())
-      // CORS: headers on responses; OPTIONS preflight passes without auth
-      assert(st.headers().firstValue("Access-Control-Allow-Origin")
-        .orElse("") == "*")
+      // CORS headers are withheld in dev mode (no JWT): a wildcard origin
+      // on an auth-free API would hand any local web page cross-origin
+      // access to it (the with-auth case is asserted in the JWT test)
+      assert(!st.headers().firstValue("Access-Control-Allow-Origin").isPresent,
+        "no CORS headers without auth")
       assert(req(p, "OPTIONS", "/api/map").statusCode() == 204)
     } finally srv.stop()
   }
@@ -272,6 +274,23 @@ class AdminHttpSpec extends AnyFunSuite {
         """{"type":"clone"}""").statusCode() == 400)
       assert(req(p, "POST", "/api/db/app/url",
         """{"url":"w","sid":"../x"}""").statusCode() == 400)
+      // bulk map upload enforces the same safe-name checks as the
+      // per-entity endpoints: a traversal target/sid/db inside the body is
+      // rejected before anything is written
+      val beforeMap = Files.readString(mapPath)
+      Seq(
+        """{"databases":[{"name":"app","urls":[],
+          |  "tables":{"t":{"type":"clone","target":"../../x"}}}]}""".stripMargin,
+        """{"databases":[{"name":"../up","urls":[],"tables":{}}]}""",
+        """{"databases":[{"name":"app",
+          |  "urls":[{"url":"w","sid":"../s"}],"tables":{}}]}""".stripMargin,
+        """{"databases":[{"name":"app","urls":[],
+          |  "tables":{"../t":{"type":"clone"}}}]}""".stripMargin).foreach { b =>
+        val r = req(p, "PUT", "/api/map", b)
+        assert(r.statusCode() == 400, s"must reject: $b -> ${r.body()}")
+      }
+      assert(Files.readString(mapPath) == beforeMap,
+        "a rejected bulk map must leave the store untouched")
       // JSON escaping: a detail carrying quotes/backslashes still parses
       val bad = req(p, "POST", "/api/db", """{"name":"a\"b\\c"}""")
       assert(bad.statusCode() == 400)
@@ -315,7 +334,12 @@ class AdminHttpSpec extends AnyFunSuite {
         expSec = System.currentTimeMillis() / 1000 - 10)
       assert(req(p, "GET", "/api/map", token = Some(expired)).statusCode() == 401)
       // roles: viewer reads, cannot write; admin writes
-      assert(req(p, "GET", "/api/map", token = Some(viewer)).statusCode() == 200)
+      val vr = req(p, "GET", "/api/map", token = Some(viewer))
+      assert(vr.statusCode() == 200)
+      // CORS headers ARE emitted once auth gates the API (browser clients
+      // still need them; mutations now require a bearer token)
+      assert(vr.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "*")
       assert(req(p, "POST", "/api/db", """{"name":"x"}""",
         token = Some(viewer)).statusCode() == 403)
       assert(req(p, "POST", "/api/db", """{"name":"x"}""",

@@ -28,6 +28,14 @@ class MainSpec extends AnyFunSuite {
     assert(cfg.metricsPort == 9090, "--k v form works")
     assert(cfg.salts == 5, "env beats file for salts")
     assert(cfg.targetsRoot == "targets", "untouched keys keep defaults")
+    // the compaction cap resolves through the same layering (env name =
+    // the knob Replay/SignatureStore honor), and the retired occupancy-cap
+    // name is tolerated (deprecation warning, not an unknown-env warning)
+    val capCfg = ProcessConfig.resolve(Seq("--compact-file-cap=5"),
+      env = Map("GRAFT_COMPACT_FILE_CAP" -> "3", "GRAFT_OCCUPANCY_CAP" -> "9"))
+    assert(capCfg.compactFileCap == 5, "flag beats env for the cap")
+    assert(ProcessConfig.resolve(Nil,
+      env = Map("GRAFT_COMPACT_FILE_CAP" -> "3")).compactFileCap == 3)
     // a typo'd flag / settings key must fail loudly, not default silently
     assert(intercept[IllegalArgumentException](
       ProcessConfig.resolve(Seq("--map-fil=x"))).getMessage.contains("map-fil"))
@@ -92,15 +100,24 @@ class MainSpec extends AnyFunSuite {
       s"""{"databases":[{"name":"app",
          |  "urls":[{"url":"$dir/wal/seg-*","sid":"s0"}],
          |  "tables":{"notes":{"type":"clone","target":"notes"}}}]}""".stripMargin)
+    // ONE bucket so the per-bucket file count is the interesting quantity
     Files.writeString(Paths.get(s"$dir/specs.json"),
-      """{"notes": {"ddl": "id bigint, body string", "keys": ["id"]}}""")
+      """{"notes": {"ddl": "id bigint, body string", "keys": ["id"],
+        |           "num_buckets": 1}}""".stripMargin)
+    // NON-default compaction cap: the layered knob must reach BOTH the
+    // inline merge compaction (Knobs) and the maintenance loop — under the
+    // default cap of 8, six zone-pruned single-event merges would leave 6
+    // files in the bucket and maintenance would never touch it
+    val capBefore = graft.config.Knobs.compactFileCap
     val cfg = ProcessConfig.resolve(Seq(
       "--map-file", s"$dir/map.json", "--targets-root", s"$dir/targets",
       "--checkpoint-root", s"$dir/ckpt", "--specs-file", s"$dir/specs.json",
-      "--trigger-ms", "100",
+      "--trigger-ms", "100", "--compact-file-cap", "2",
       "--maintenance-interval-sec", "1", "--vacuum-retain", "2"))
     val h = Main.serve(cfg, existingSpark = Some(spark))
     try {
+      assert(graft.config.Knobs.compactFileCap == 2,
+        "serve() must publish the layered cap to the shared knob")
       def manifests: Int =
         Option(new java.io.File(s"$dir/targets/notes/_meta").listFiles())
           .map(_.count(_.getName.endsWith(".json"))).getOrElse(0)
@@ -118,9 +135,17 @@ class MainSpec extends AnyFunSuite {
       // ingest produced >> retain manifests; the maintenance loop must
       // bound them (retain + a little in-flight slack)
       await("vacuum bounded the manifests")(manifests <= 4)
+      // the non-default cap must bound the bucket's file count (inline
+      // compaction past 2 files, maintenance compaction down to 1)
+      await("compaction honored --compact-file-cap 2") {
+        LakeTable.load(spark, s"$dir/targets/notes").snapshot().files.size <= 2
+      }
       // no data lost by maintenance
       assert(LakeTable.load(spark, s"$dir/targets/notes").read().count() == 6)
-    } finally h.stop()
+    } finally {
+      h.stop()
+      graft.config.Knobs.compactFileCap = capBefore
+    }
   }
 
   test("serve e2e: parquet + pgoutput URLs fan into one target; admin + metrics live") {

@@ -22,12 +22,13 @@ class PgOutputSpec extends AnyFunSuite {
 
   test("decode: insert/update/delete/toast/pk-update/truncate, (lsn, seq) assignment") {
     val chunk = Wire.chunk(Seq(
-      rel,
+      rel, // registry prefix: decoder state only, NO engine event
       Wire.begin(100L, 7),
       Wire.insert(relId, Seq(Some("1"), Some("hello"), Some("5"))),
       Wire.insert(relId, Seq(Some("2"), None, Some("6"))), // genuine NULL body
       Wire.commit(100L),
       Wire.begin(200L, 8),
+      rel, // IN-transaction Relation re-emit: the schema-evolution event
       // unchanged-TOAST body: column ABSENT from the value map
       Wire.update(relId, Seq(Some("1"), Some("ignored"), Some("9")),
         toastAbsent = Set(1)),
@@ -39,14 +40,19 @@ class PgOutputSpec extends AnyFunSuite {
       Wire.commit(200L)))
 
     val evs = PgOutput.decodeChunk(chunk, "s0")
-    // R surfaces as a relation event with the type-name map
+    // ONLY the in-transaction Relation surfaces as an engine event (the
+    // registry prefix is chunk metadata — an ord-0 event for it would be
+    // filtered forever by any positive heal floor), stamped at the real
+    // transaction position
+    assert(evs.count(_.op == "R") == 1,
+      "registry-prefix R must not emit an engine event")
     val r = evs.find(_.op == "R").get
-    assert(r.source_table == "notes" &&
+    assert(r.source_table == "notes" && r.lsn == 200L && r.seq == 0 &&
       r.after == Map("id" -> "bigint", "body" -> "text", "n" -> "int"))
     val dml = evs.filter(e => e.op != "R")
     assert(dml.map(e => (e.op, e.lsn, e.seq)) == Seq(
       ("I", 100L, 0), ("I", 100L, 1),
-      ("U", 200L, 0), ("U", 200L, 1), ("D", 200L, 2), ("T", 200L, 3)),
+      ("U", 200L, 1), ("U", 200L, 2), ("D", 200L, 3), ("T", 200L, 4)),
       s"(op, lsn, seq) must follow txn boundaries: $dml")
     val ins = dml.head
     assert(ins.after == Map("id" -> "1", "body" -> "hello", "n" -> "5"))
@@ -67,15 +73,19 @@ class PgOutputSpec extends AnyFunSuite {
     val uRel = 7001
     val chunk = Wire.chunk(Seq(
       Wire.typeMsg(90001, "public", "mood_enum"), // custom type: skipped
-      Wire.relation(uRel, "analytics", "café_visits", Seq(("id", 20), ("café", 25))),
-      rel,
+      rel, // registry prefix: state only, no event
       Wire.begin(50L, 3),
+      // in-transaction Relation (how the live wire sends it: before the
+      // first DML touching the table) — THIS one surfaces as the engine's
+      // schema-evolution event, at the real transaction position
+      Wire.relation(uRel, "analytics", "café_visits", Seq(("id", 20), ("café", 25))),
       Wire.insert(uRel, Seq(Some("1"), Some("naïve"))),
       Wire.truncate(Seq(uRel, relId)), // TRUNCATE a, b: one event EACH
       Wire.commit(50L)))
     val evs = PgOutput.decodeChunk(chunk, "s0")
     val rs = evs.filter(_.op == "R")
-    assert(rs.exists(_.source_table == "analytics.café_visits"),
+    assert(rs.map(r => (r.source_table, r.lsn)) ==
+      Seq(("analytics.café_visits", 50L)),
       s"UTF-8 relation name must survive: ${rs.map(_.source_table)}")
     val ins = evs.find(_.op == "I").get
     assert(ins.after == Map("id" -> "1", "café" -> "naïve"))
@@ -88,6 +98,83 @@ class PgOutputSpec extends AnyFunSuite {
       (0 until (1 << 19)).map(_ => Wire.truncate(Seq(relId))))
     val ex = intercept[IllegalArgumentException](PgOutput.decodeChunk(big, "s0"))
     assert(ex.getMessage.contains("19-bit"))
+  }
+
+  test("protocol v2: interleaved streamed transactions commit in commit " +
+    "order at the commit LSN; aborts apply nothing") {
+    // two in-progress transactions interleave their stream blocks (the
+    // exact case streaming exists for: logical_decoding_work_mem overflow
+    // on a busy server) — xid 800 commits FIRST despite starting second,
+    // so its changes must order before xid 700's
+    val chunk = Wire.chunk(Seq(
+      rel,
+      Wire.streamStart(700),
+      Wire.streamed(700, Wire.insert(relId, Seq(Some("1"), Some("a"), Some("1")))),
+      Wire.streamStop(),
+      Wire.streamStart(800),
+      Wire.streamed(800, Wire.insert(relId, Seq(Some("2"), Some("b"), Some("2")))),
+      Wire.streamed(800, Wire.insert(relId, Seq(Some("3"), Some("c"), Some("3")))),
+      Wire.streamStop(),
+      Wire.streamStart(700, first = false),
+      Wire.streamed(700, Wire.update(relId, Seq(Some("1"), Some("a2"), Some("9")))),
+      Wire.streamStop(),
+      Wire.streamCommit(800, 500L),
+      Wire.streamCommit(700, 600L),
+      // a plain v1 transaction after the streams: state machine survives
+      Wire.begin(700L, 9),
+      Wire.insert(relId, Seq(Some("4"), Some("d"), Some("4"))),
+      Wire.commit(700L)))
+    val evs = PgOutput.decodeChunk(chunk, "s0")
+    assert(evs.map(e => (e.op, e.lsn, e.seq, e.after.getOrElse("id", ""))) ==
+      Seq(("I", 500L, 0, "2"), ("I", 500L, 1, "3"), // xid 800 @ commit lsn
+          ("I", 600L, 0, "1"), ("U", 600L, 1, "1"), // xid 700, both blocks
+          ("I", 700L, 0, "4")),
+      s"streamed txns must release in commit order at the commit LSN: $evs")
+
+    // whole-transaction abort (subxid == xid): nothing applies; an empty
+    // StreamCommit for an all-aborted xid is also legal
+    val aborted = Wire.chunk(Seq(
+      rel,
+      Wire.streamStart(900),
+      Wire.streamed(900, Wire.insert(relId, Seq(Some("9"), Some("x"), Some("9")))),
+      Wire.streamStop(),
+      Wire.streamAbort(900, 900)))
+    assert(PgOutput.decodeChunk(aborted, "s0").isEmpty,
+      "an aborted streamed transaction must apply nothing")
+
+    // subtransaction abort: truncates the buffered tail from the subxact's
+    // first change onward (WAL order), keeping the top-level xid's earlier
+    // changes; the in-stream Relation re-emit surfaces as the R event
+    val subAbort = Wire.chunk(Seq(
+      rel,
+      Wire.streamStart(950),
+      Wire.streamed(950, rel), // in-stream Relation: schema-evolution event
+      Wire.streamed(950, Wire.insert(relId, Seq(Some("10"), Some("keep"), Some("1")))),
+      Wire.streamed(951, Wire.insert(relId, Seq(Some("11"), Some("roll"), Some("1")))),
+      Wire.streamed(951, Wire.insert(relId, Seq(Some("12"), Some("roll"), Some("1")))),
+      Wire.streamStop(),
+      Wire.streamAbort(950, 951), // subxact 951 only
+      Wire.streamStart(950, first = false),
+      Wire.streamed(950, Wire.insert(relId, Seq(Some("13"), Some("keep"), Some("1")))),
+      Wire.streamStop(),
+      Wire.streamCommit(950, 999L)))
+    val sEvs = PgOutput.decodeChunk(subAbort, "s0")
+    assert(sEvs.map(e => (e.op, e.lsn, e.seq)) ==
+      Seq(("R", 999L, 0), ("I", 999L, 1), ("I", 999L, 2)),
+      s"subxact abort must drop exactly the subxact's tail: $sEvs")
+    assert(sEvs.collect { case e if e.op == "I" => e.after("id") } ==
+      Seq("10", "13"), "subxact 951's rows must be gone")
+
+    // self-containment extends to streams: a chunk that ends with an
+    // in-progress streamed transaction fails loudly at the writer's door
+    val dangling = Wire.chunk(Seq(
+      rel,
+      Wire.streamStart(999),
+      Wire.streamed(999, Wire.insert(relId, Seq(Some("1"), None, None))),
+      Wire.streamStop()))
+    val ex = intercept[IllegalStateException](
+      PgOutput.decodeChunk(dangling, "s0"))
+    assert(ex.getMessage.contains("in-progress"))
   }
 
   test("pgoutput stream: crash window between lake commit and checkpoint " +
