@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLsh,
     "dedup_simhash" -> TextPipeline.dedupSimhash,
     "dedup_clusters" -> TextPipeline.dedupClusters,
+    "dedup_clusters_incremental" -> TextPipeline.dedupClustersIncremental,
     "dedup_incremental" -> TextPipeline.dedupIncremental,
     "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhash,
     "text_lang_id" -> TextPipeline.langId,
@@ -111,6 +112,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> TextPipeline.dedupMinhashLshOracle,
     "dedup_simhash" -> TextPipeline.dedupSimhashOracle,
     "dedup_clusters" -> TextPipeline.dedupClustersOracle,
+    "dedup_clusters_incremental" -> TextPipeline.dedupClustersIncrementalOracle,
     "dedup_incremental" -> TextPipeline.dedupIncrementalOracle,
     "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhashOracle,
     "text_lang_id" -> TextPipeline.langIdOracle,

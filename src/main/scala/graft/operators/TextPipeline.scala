@@ -122,11 +122,20 @@ ORDER BY a, b"""
     *                  higher recall. The (K, bands) pair tunes the LSH
     *                  S-curve to the Jaccard threshold at corpus scale. */
   def dedupMinhashLsh(spark: SparkSession, dir: String, numHashes: Int,
-                      numBands: Int): DataFrame = {
+                      numBands: Int): DataFrame =
+    lshVerifiedPairs(docs(spark, dir), numHashes, numBands, "dedup_minhash_lsh")
+
+  /** The MinHash-LSH verified-pair kernel over an arbitrary (doc_id, text)
+    * frame: band-join candidates, exact-Jaccard verification >= 0.8.
+    * Factored out so the incremental clustering path can compute
+    * ingest-time corpus pairs with the SAME predicate the full operator
+    * uses. */
+  private def lshVerifiedPairs(d: DataFrame, numHashes: Int,
+                               numBands: Int, opLabel: String): DataFrame = {
     require(numHashes % numBands == 0,
       s"bad minhash knobs: K=$numHashes bands=$numBands")
     val r = numHashes / numBands
-    val sh = shingleSet(docs(spark, dir))
+    val sh = shingleSet(d)
     val sigCols = (0 until numHashes).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -134,7 +143,7 @@ ORDER BY a, b"""
       sig.select(col("doc_id"), lit(b).as("band"),
         concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bk"))
     }.reduce(_ unionAll _)
-    val cand = Similarity.observeCandidates("dedup_minhash_lsh",
+    val cand = Similarity.observeCandidates(opLabel,
       bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id")),
@@ -451,8 +460,18 @@ ORDER BY corpus_id, new_id"""
     * too-loose threshold — not something to silently under-merge). */
   val ClusterMaxIters = 20
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir).select(col("a"), col("b"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterFrame(spark, dir, propagateLabels(spark,
+      dedupMinhashLsh(spark, dir).select(col("a"), col("b"))))
+
+  /** Min-label propagation to fixpoint over an undirected pair graph
+    * (a, b) — the distributed connected-components kernel shared by the
+    * full ([[dedupClusters]]) and incremental ([[clustersAgainstLabels]])
+    * paths. Returns the converged (doc_id, cluster_id) frame for
+    * PAIR-INVOLVED vertices only, landed as a (tiny) parquet artifact so
+    * the returned frame pins no cache blocks. */
+  def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -463,6 +482,7 @@ ORDER BY corpus_id, new_id"""
       var labels = edges.select(col("a").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cached = labels // unpersist handle for the round's cache entry
       var converged = false
       var iters = 0
       while (!converged) {
@@ -472,15 +492,22 @@ ORDER BY corpus_id, new_id"""
         val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
           .groupBy(edges("a").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
+        // ONE job per round: the changed flag rides along in the cached
+        // build, so the convergence aggregate both materializes `next`
+        // into the cache and counts label changes in the same action —
+        // no second join-vs-old-labels + count() job per round
         val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
+              .as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+              .cast("long").as("changed"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.alias("n").join(labels.alias("o"), "doc_id")
-          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-        labels.unpersist(blocking = false)
-        labels = next
+        val changed = next
+          .agg(coalesce(sum(col("changed")), lit(0L))).head().getLong(0)
+        cached.unpersist(blocking = false)
+        cached = next
+        labels = next.select(col("doc_id"), col("cluster_id"))
         converged = changed == 0
       }
       // land the converged labels as a (tiny, two-column) parquet artifact
@@ -491,21 +518,26 @@ ORDER BY corpus_id, new_id"""
       val art = java.nio.file.Files.createTempDirectory("graft-clusters")
       tmpLakes.add(art)
       labels.write.parquet(s"$art/labels.parquet")
-      labels.unpersist(blocking = false)
-      val lbl = spark.read.parquet(s"$art/labels.parquet")
-      // sizes come from the TINY converged label table (one corpus pass
-      // total); singletons (docs in no pair) are their own canonical with
-      // size 1 via the coalesces
-      val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      docs(spark, dir).select(col("doc_id"))
-        .join(lbl, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .join(sizes, Seq("cluster_id"), "left_outer")
-        .select(col("doc_id"), col("cluster_id"),
-          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
-        .orderBy("doc_id")
+      cached.unpersist(blocking = false)
+      spark.read.parquet(s"$art/labels.parquet")
     } finally pairs.unpersist()
+  }
+
+  /** Full per-document cluster frame from a dup-involved label table:
+    * sizes come from the TINY converged label table (one corpus pass
+    * total); singletons (docs in no pair) are their own canonical with
+    * size 1 via the coalesces. */
+  private def clusterFrame(spark: SparkSession, dir: String,
+                           lbl: DataFrame): DataFrame = {
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(sizes, Seq("cluster_id"), "left_outer")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy("doc_id")
   }
 
   val dedupClustersOracle: String =
@@ -522,6 +554,152 @@ sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
 SELECT l.doc_id, l.cluster_id, s.cluster_size
 FROM lbl l JOIN sz s USING (cluster_id)
 ORDER BY l.doc_id"""
+
+  // ---------------------------------------------------------------------
+  // D7: INCREMENTAL clustering — X14 at steady state. dedupClusters
+  // recomputes connected components from scratch; under continuous ingest
+  // the signatures update per batch (X13) and a delta batch only ever
+  // MERGES clusters (new edges never split components), so the persisted
+  // label table is maintained by a union-find over ROOTS instead:
+  //   1. map each new-pair endpoint to its current root (persisted
+  //      cluster_id; unlabeled docs are their own root);
+  //   2. min-label propagation over the ROOT graph — vertices are the
+  //      touched roots only, far below even the dup-involved doc count,
+  //      so the fixpoint iteration is near-free;
+  //   3. rewrite exactly (a) members of clusters whose root changed (a
+  //      join on cluster_id — bucket/zone-prunable when the label table
+  //      is lake-backed) and (b) the newly-labeled endpoints; the
+  //      untouched remainder passes through (and in a lake-backed merge
+  //      would not be rewritten at all).
+  // Per-batch cost: O(new pairs + members of merged clusters) — never the
+  // corpus text, never a from-scratch CC.
+  // ---------------------------------------------------------------------
+
+  /** Candidate + signature-agreement verified pairs between a signature
+    * table (corpus ∪ delta) and the delta's signatures — the D5 predicate
+    * (match_cnt >= IncMinMatch) emitted as a symmetric (a, b) pair set;
+    * `a < b` dedups the delta-delta half. No text on either side. */
+  private def signatureAgreementPairs(left: DataFrame, right: DataFrame,
+                                      opLabel: String): DataFrame = {
+    val cand = Similarity.observeCandidates(opLabel,
+      sigBands(left).as("x").join(sigBands(right).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id")),
+      struct(col("x.band"), col("x.bk")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val la = left.select(col("doc_id").as("a") +:
+      (0 until MinhashK).map(k => col(s"h$k").as(s"a_h$k")): _*)
+    val lb = right.select(col("doc_id").as("b") +:
+      (0 until MinhashK).map(k => col(s"h$k").as(s"b_h$k")): _*)
+    cand.join(la, "a").join(lb, "b")
+      .withColumn("match_cnt", (0 until MinhashK).map(k =>
+        when(col(s"a_h$k") === col(s"b_h$k"), 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("match_cnt") >= IncMinMatch)
+      .select("a", "b")
+  }
+
+  /** Incremental union-find: fold a batch of newly-verified pairs into a
+    * persisted (doc_id, cluster_id) label table. Returns the UPDATED label
+    * table (same shape), touching only merged clusters and new endpoints —
+    * the SignatureStore-composition analog for cluster state. */
+  def clustersAgainstLabels(spark: SparkSession, labels: DataFrame,
+                            newPairs: DataFrame): DataFrame = {
+    val ends = newPairs.select(col("a").as("doc_id"))
+      .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
+    val roots = ends.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))
+    val rootEdges = newPairs
+      .join(roots.select(col("doc_id").as("a"), col("root").as("ra")), "a")
+      .join(roots.select(col("doc_id").as("b"), col("root").as("rb")), "b")
+      .select(col("ra").as("a"), col("rb").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // fixpoint over the ROOT graph only; rounds = diameter of the merge
+    // graph, vertices = touched roots
+    val rootMap = propagateLabels(spark, rootEdges)
+      .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
+    val relabeled = labels.as("l")
+      .join(rootMap, col("l.cluster_id") === col("root"), "left_outer")
+      .select(col("l.doc_id"),
+        coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
+    val fresh = roots.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(rootMap, Seq("root"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("root")).as("cluster_id"))
+    relabeled.unionAll(fresh)
+  }
+
+  /** Driver-contract entry: the first 4/5 of documents plays the ingested
+    * corpus — its labels computed ONCE at "ingest time" and its signatures
+    * persisted through the signatures LakeTable — and the last 1/5 plays
+    * the newly-arriving batch. The steady-state path touches the delta's
+    * text, the corpus SIGNATURES, and the label table: never the corpus
+    * text. Oracle = transitive closure over (corpus pairs ∪ new-batch
+    * signature-agreement pairs). */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val corpus = d.filter(col("doc_id") < split)
+    // ingest-time state (corpus text scanned once, like dedup_incremental's
+    // signature ingest): persisted labels + persisted signatures
+    val labels0 = propagateLabels(spark,
+      lshVerifiedPairs(corpus, MinhashK, Bands, "dedup_clusters_inc_base")
+        .select(col("a"), col("b")))
+    val sig = ingestCorpusSignatures(spark, corpus, simhash = false)
+    val corpusSigs = sig.read().select(col("doc_id").cast("long").as("doc_id") +:
+      (0 until MinhashK).map(k => col(s"h$k")): _*)
+    // steady state: delta text + signatures only
+    val deltaSigs = minhashSignatures(d.filter(col("doc_id") >= split))
+      .select(corpusSigs.columns.map(col).toSeq: _*)
+    val newPairs = signatureAgreementPairs(
+      corpusSigs.unionAll(deltaSigs), deltaSigs, "dedup_clusters_incremental")
+    clusterFrame(spark, dir, clustersAgainstLabels(spark, labels0, newPairs))
+  }
+
+  val dedupClustersIncrementalOracle: String = {
+    val sigCols = (0 until MinhashK)
+      .map(k => s"min(md5('$k|' || s)) AS h$k").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS bk FROM mh")
+      .mkString("\n  UNION ALL ")
+    val matchSum = (0 until MinhashK)
+      .map(k => s"CASE WHEN ma.h$k = mb.h$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE $shingleSetSql,
+sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
+mh AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+bands AS ($bandRows),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
+          FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2),
+cpairs AS (SELECT c.a, c.b
+           FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+                 JOIN bands y ON x.band = y.band AND x.bk = y.bk
+                              AND x.doc_id < y.doc_id) c
+           JOIN inter USING (a, b)
+           JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b
+           CROSS JOIN sp
+           WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
+             AND c.b < sp.split),
+npairs AS (SELECT c.a, c.b
+           FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+                 JOIN bands y ON x.band = y.band AND x.bk = y.bk
+                              AND x.doc_id < y.doc_id) c
+           JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b
+           CROSS JOIN sp
+           WHERE c.b >= sp.split AND $matchSum >= $IncMinMatch),
+p AS (SELECT a, b FROM cpairs UNION SELECT a, b FROM npairs),
+e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+reach(x, y) AS (SELECT a AS x, b AS y FROM e
+                UNION
+                SELECT r.x, e2.b AS y FROM reach r JOIN e e2 ON e2.a = r.y),
+lbl AS (SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+        GROUP BY d.doc_id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lbl l JOIN sz s USING (cluster_id)
+ORDER BY l.doc_id"""
+  }
 
   // ---------------------------------------------------------------------
   // T1: language ID — marker-word heuristic (deterministic n-gram-free

@@ -110,6 +110,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(cur(3L)._2 != "near_dup_cluster" && cur(4L)._2 != "near_dup_cluster")
   }
 
+  test("incremental clustering: delta pairs merge persisted clusters without a from-scratch CC") {
+    import spark.implicits._
+    // persisted state: clusters {0,1} (root 0), {5,6} (root 5), {9} via
+    // label row, plus implicit singletons 20, 30 (no label row)
+    val labels = Seq((0L, 0L), (1L, 0L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    // delta batch: 100 bridges clusters 0 and 5 (two-cluster MERGE);
+    // 101~102 pair only with each other (fresh cluster); 103 pairs with
+    // the unlabeled singleton 20 (fresh cluster with a corpus doc);
+    // cluster {9} and singleton 30 are untouched
+    val newPairs = Seq((1L, 100L), (6L, 100L), (101L, 102L), (20L, 103L))
+      .toDF("a", "b")
+    val updated = TextPipeline.clustersAgainstLabels(spark, labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merged component {0,1,5,6,100} takes the global-min root 0
+    assert(Seq(0L, 1L, 5L, 6L, 100L).forall(updated(_) == 0L), updated.toString)
+    // fresh delta-delta pair gets its own min-id cluster
+    assert(updated(101L) == 101L && updated(102L) == 101L)
+    // fresh corpus-delta pair labels BOTH endpoints (20 had no label row)
+    assert(updated(20L) == 20L && updated(103L) == 20L)
+    // untouched cluster passes through unchanged; absent docs stay absent
+    assert(updated(9L) == 9L)
+    assert(!updated.contains(30L), "unpaired docs stay out of the label table")
+    assert(updated.size == 10)
+  }
+
   test("planted duplicates: exact + simhash + ngram detect them") {
     val dir = SparkTestBase.tmpDir("plant")
     import spark.implicits._
