@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   private val DefaultQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_incremental", "dedup_clusters",
+    "dedup_incremental", "dedup_clusters", "dedup_clusters_incremental",
     "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk")
 
   // knnBrute deliberately broadcasts the 5-row query side into a non-equi
@@ -23,7 +23,11 @@ object Plans {
   private val AllowedNlj = Set("embed_knn_topk", "embed_ann_ivf")
   private val RequiredShapes = Map(
     "embed_ann_ivf" -> Seq("BroadcastHashJoin [cluster", "WindowGroupLimit"),
-    "embed_knn_topk" -> Seq("WindowGroupLimit"))
+    "embed_knn_topk" -> Seq("WindowGroupLimit"),
+    // the incremental relabel pass must stay a BROADCAST of the tiny root
+    // map against the big label table (a SortMergeJoin here would shuffle
+    // the whole persisted label table per delta batch)
+    "dedup_clusters_incremental" -> Seq("BroadcastHashJoin [cluster_id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -604,9 +604,16 @@ ORDER BY l.doc_id"""
     * the SignatureStore-composition analog for cluster state. */
   def clustersAgainstLabels(spark: SparkSession, labels: DataFrame,
                             newPairs: DataFrame): DataFrame = {
+    // endpoint set is bounded by the batch's pair count — broadcast it so
+    // the (corpus-sized) label table is never SHUFFLED, only scanned:
+    // endpoint labels come from a broadcast-right semi join, and the
+    // relabel pass below is a broadcast-left-outer against the tiny root
+    // map — two scans, zero exchanges of the big side (lake-backed, the
+    // scans would additionally zone-prune on cluster_id/doc_id)
     val ends = newPairs.select(col("a").as("doc_id"))
       .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
-    val roots = ends.join(labels, Seq("doc_id"), "left_outer")
+    val endLabels = labels.join(broadcast(ends), Seq("doc_id"), "left_semi")
+    val roots = ends.join(endLabels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))
     val rootEdges = newPairs
       .join(roots.select(col("doc_id").as("a"), col("root").as("ra")), "a")
@@ -618,10 +625,10 @@ ORDER BY l.doc_id"""
     val rootMap = propagateLabels(spark, rootEdges)
       .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
     val relabeled = labels.as("l")
-      .join(rootMap, col("l.cluster_id") === col("root"), "left_outer")
+      .join(broadcast(rootMap), col("l.cluster_id") === col("root"), "left_outer")
       .select(col("l.doc_id"),
         coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
-    val fresh = roots.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+    val fresh = roots.join(endLabels.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(rootMap, Seq("root"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("new_root"), col("root")).as("cluster_id"))
@@ -629,25 +636,28 @@ ORDER BY l.doc_id"""
   }
 
   /** Driver-contract entry: the first 4/5 of documents plays the ingested
-    * corpus — its labels computed ONCE at "ingest time" and its signatures
-    * persisted through the signatures LakeTable — and the last 1/5 plays
-    * the newly-arriving batch. The steady-state path touches the delta's
-    * text, the corpus SIGNATURES, and the label table: never the corpus
-    * text. Oracle = transitive closure over (corpus pairs ∪ new-batch
-    * signature-agreement pairs). */
+    * corpus — its signatures persisted through the signatures LakeTable
+    * and its labels computed ONCE at "ingest time" FROM those lake
+    * signatures — and the last 1/5 plays the newly-arriving batch. The
+    * whole family speaks ONE predicate (D5 signature agreement, the
+    * steady-state predicate — corpus text is scanned exactly once, at
+    * signature ingest, and never again: corpus pairs, delta pairs, and
+    * the incremental fold all run on signatures). Oracle = recursive-CTE
+    * closure over ALL signature-agreement pairs — i.e. the invariant the
+    * incremental fold must preserve: persisted labels + delta update ==
+    * from-scratch clustering under the same predicate. */
   def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val split = (d.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
-    val corpus = d.filter(col("doc_id") < split)
-    // ingest-time state (corpus text scanned once, like dedup_incremental's
-    // signature ingest): persisted labels + persisted signatures
-    val labels0 = propagateLabels(spark,
-      lshVerifiedPairs(corpus, MinhashK, Bands, "dedup_clusters_inc_base")
-        .select(col("a"), col("b")))
-    val sig = ingestCorpusSignatures(spark, corpus, simhash = false)
+    // ingest-time state: ONE corpus text scan -> signature lake; corpus
+    // labels derive from the LAKE signatures (no text, no exact-verify)
+    val sig = ingestCorpusSignatures(spark, d.filter(col("doc_id") < split),
+      simhash = false)
     val corpusSigs = sig.read().select(col("doc_id").cast("long").as("doc_id") +:
       (0 until MinhashK).map(k => col(s"h$k")): _*)
-    // steady state: delta text + signatures only
+    val labels0 = propagateLabels(spark,
+      signatureAgreementPairs(corpusSigs, corpusSigs, "dedup_clusters_inc_base"))
+    // steady state: delta text + signatures + labels only
     val deltaSigs = minhashSignatures(d.filter(col("doc_id") >= split))
       .select(corpusSigs.columns.map(col).toSeq: _*)
     val newPairs = signatureAgreementPairs(
@@ -663,30 +673,18 @@ ORDER BY l.doc_id"""
       .mkString("\n  UNION ALL ")
     val matchSum = (0 until MinhashK)
       .map(k => s"CASE WHEN ma.h$k = mb.h$k THEN 1 ELSE 0 END").mkString(" + ")
+    // the oracle knows NOTHING of the corpus/delta split: it states the
+    // maintained invariant directly — closure over all signature-agreement
+    // pairs, however incrementally the engine arrived at it
     s"""WITH RECURSIVE $shingleSetSql,
-sp AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split FROM documents),
 mh AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
 bands AS ($bandRows),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
-          FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id GROUP BY 1, 2),
-cpairs AS (SELECT c.a, c.b
-           FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
-                 JOIN bands y ON x.band = y.band AND x.bk = y.bk
-                              AND x.doc_id < y.doc_id) c
-           JOIN inter USING (a, b)
-           JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b
-           CROSS JOIN sp
-           WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
-             AND c.b < sp.split),
-npairs AS (SELECT c.a, c.b
-           FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
-                 JOIN bands y ON x.band = y.band AND x.bk = y.bk
-                              AND x.doc_id < y.doc_id) c
-           JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b
-           CROSS JOIN sp
-           WHERE c.b >= sp.split AND $matchSum >= $IncMinMatch),
-p AS (SELECT a, b FROM cpairs UNION SELECT a, b FROM npairs),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         JOIN bands y ON x.band = y.band AND x.bk = y.bk
+                      AND x.doc_id < y.doc_id),
+p AS (SELECT c.a, c.b FROM cand c
+      JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b
+      WHERE $matchSum >= $IncMinMatch),
 e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
 reach(x, y) AS (SELECT a AS x, b AS y FROM e
                 UNION

@@ -193,7 +193,7 @@ object EventsCdc {
     // the rendering below is the CAPTURE-TOOL stand-in (single-threaded at
     // the socket in production too); at larger fixture scale factors it —
     // not the engine — is the bottleneck, and a real tool would roll chunk
-    // files incrementally instead of materializing the log (WalTailer does)
+    // files incrementally instead of materializing the log (PgTailer does)
     val events = derive(spark, dir).collect().sortBy(e => (e.lsn, e.seq))
     val tmp = Files.createTempDirectory("graft-pgo").toString
     val maxLsn = events.map(_.lsn).max
