@@ -35,6 +35,7 @@ object SparkEntry {
     "cdc_pgoutput_replay" -> EventsCdc.qPgoutputReplay,
     "cdc_pgoutput_replay_v2" -> EventsCdc.qPgoutputReplayV2,
     "cdc_replay_filter" -> EventsCdc.qFilter,
+    "cdc_replay_filter_cel" -> EventsCdc.qFilterCel,
     "cdc_replay_set" -> EventsCdc.qSet,
     "cdc_replay_pkupdate" -> EventsCdc.qPkUpdate,
     "cdc_replay_append" -> EventsCdc.qAppend,
@@ -87,6 +88,13 @@ object SparkEntry {
     // must ALSO converge to the identical state
     "cdc_pgoutput_replay_v2" -> EventsCdc.cloneOracle(),
     "cdc_replay_filter" -> EventsCdc.cloneOracle(filterSql = "value > 10"),
+    // the CEL predicate of cdc_replay_filter_cel, stated directly in SQL
+    // (instr is 1-based in DuckDB too, so `instr - 1` IS CEL indexOf; the
+    // nops CTE exposes the key as k, the oracle-side name of user_id)
+    "cdc_replay_filter_cel" -> EventsCdc.cloneOracle(filterSql =
+      "((value > 10.0 AND instr(event_type, 'i') - 1 <> 0) OR " +
+      "(k % 7 = 3 AND regexp_matches(event_type, '^(purchase|view)$')))" +
+      " AND length(coalesce(props, 'x')) <> 0"),
     "cdc_replay_set" -> EventsCdc.setOracle,
     "cdc_replay_pkupdate" -> EventsCdc.cloneOracle(pkUpdate = true),
     "cdc_replay_append" -> EventsCdc.cloneOracle(append = true),

@@ -39,14 +39,20 @@ object MapConfig {
   /** @param signatures true = maintain a companion near-dup signatures
     *                   lake table per applied micro-batch (SignatureStore;
     *                   clone/append modes only). The orchestrator places
-    *                   it at `<targetsRoot>/<target>_signatures`. */
+    *                   it at `<targetsRoot>/<target>_signatures`.
+    * @param lang expression language of `filter` and `set` values: "sql"
+    *             (default — Spark SQL) or "cel" (the reference's language;
+    *             translated once at map-compile time via [[Cel.translate]],
+    *             so a kuvasz map file ports verbatim). Unknown values fail
+    *             loudly at load, matching the loader's typo policy. */
   final case class TableEntry(
       `type`: Option[String],
       target: Option[String],
       filter: Option[String],
       set: Option[Map[String, String]],
       partitions_regex: Option[String],
-      signatures: Option[Boolean] = None)
+      signatures: Option[Boolean] = None,
+      lang: Option[String] = None)
   final case class SourceDatabase(name: String, urls: Seq[UrlEntry],
                                   tables: Map[String, TableEntry])
   final case class DbMap(databases: Seq[SourceDatabase])
@@ -71,12 +77,23 @@ object MapConfig {
     * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). */
   def mappings(db: SourceDatabase): Seq[TableMapping] =
     db.tables.toSeq.sortBy(_._1).map { case (src, t) =>
+      val xl: String => String = t.lang.map(_.toLowerCase) match {
+        case None | Some("sql") => identity
+        case Some("cel") => e =>
+          try Cel.translate(e)
+          catch {
+            case ce: Cel.CelError => throw new IllegalArgumentException(
+              s"table '$src': cannot translate CEL expression: ${ce.getMessage}", ce)
+          }
+        case Some(other) => throw new IllegalArgumentException(
+          s"table '$src': unknown expression lang '$other' (supported: sql, cel)")
+      }
       TableMapping(
         sourceTable = src,
         target = t.target.getOrElse(src),
         mode = TableMode.parse(t.`type`.getOrElse("clone")),
         partitionsRegex = t.partitions_regex,
-        filter = t.filter,
-        set = t.set.map(_.toSeq.sortBy(_._1)))
+        filter = t.filter.map(xl),
+        set = t.set.map(_.toSeq.sortBy(_._1).map { case (c, e) => c -> xl(e) }))
     }
 }

@@ -11,7 +11,8 @@ import java.nio.file.{Files, Paths}
   * loader (`streamer/config.go:111-188`: TOML file + environment + flags
   * merged with precedence). Here the layers are, lowest to highest:
   *
-  *   defaults  <  JSON settings file (`--config <path>`)
+  *   defaults  <  settings file (`--config <path>`; JSON, or TOML like the
+  *                reference — chosen by the `.toml` extension)
   *             <  environment (`GRAFT_<UPPER_SNAKE_KEY>`)
   *             <  CLI flags (`--kebab-key=value` or `--kebab-key value`)
   *
@@ -89,17 +90,25 @@ object ProcessConfig {
       flags.get("config").orElse(env.get("GRAFT_CONFIG")) match {
         case None => Map.empty
         case Some(path) =>
-          val node = mapper.readTree(Files.readString(Paths.get(path)))
-          val it = node.properties().iterator()
-          val out = Map.newBuilder[String, String]
-          while (it.hasNext) {
-            val e = it.next()
-            if (!keys.contains(e.getKey))
-              throw new IllegalArgumentException(
-                s"unknown settings key '${e.getKey}' in $path")
-            out += e.getKey -> e.getValue.asText()
-          }
-          out.result()
+          val text = Files.readString(Paths.get(path))
+          // the reference's settings file is TOML (config.go); accept both
+          // formats by extension — same flat keys, same typo policy
+          val raw: Map[String, String] =
+            if (path.endsWith(".toml")) parseFlatToml(text, path)
+            else {
+              val node = mapper.readTree(text)
+              val it = node.properties().iterator()
+              val out = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                out += e.getKey -> e.getValue.asText()
+              }
+              out.result()
+            }
+          raw.keys.find(!keys.contains(_)).foreach(k =>
+            throw new IllegalArgumentException(
+              s"unknown settings key '$k' in $path"))
+          raw
       }
 
     // the flag and file layers reject typos outright; env vars are shared
@@ -157,6 +166,77 @@ object ProcessConfig {
         .getOrElse(dflt.maintenanceIntervalSec),
       vacuumRetain = int("vacuum_retain", dflt.vacuumRetain),
       compactFileCap = int("compact_file_cap", dflt.compactFileCap))
+  }
+
+  /** Flat TOML settings parser — the engine's process settings are a flat
+    * key space (see [[keys]]), so the accepted TOML is the flat subset:
+    * `key = value` lines, `#` comments, basic/literal strings, bare
+    * ints/floats/bools. Table headers (`[section]`) fail loudly — a
+    * sectioned file from another tool must be flattened consciously, not
+    * silently mis-read (same typo policy as the JSON and flag layers). */
+  private[config] def parseFlatToml(text: String, path: String): Map[String, String] = {
+    def fail(ln: Int, msg: String): Nothing =
+      throw new IllegalArgumentException(s"$path:${ln + 1}: $msg")
+    val out = Map.newBuilder[String, String]
+    text.linesIterator.zipWithIndex.foreach { case (raw, ln) =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) ()
+      else if (line.startsWith("["))
+        fail(ln, "table headers are not supported — the engine's settings " +
+          "are flat keys (" + keys.mkString(", ") + ")")
+      else {
+        val eq = line.indexOf('=')
+        if (eq < 1) fail(ln, "expected 'key = value'")
+        val key = line.substring(0, eq).trim
+        if (!key.matches("[A-Za-z0-9_-]+"))
+          fail(ln, s"unsupported key syntax '$key'")
+        val rhs = line.substring(eq + 1).trim
+        val value =
+          if (rhs.startsWith("\"")) {
+            val sb = new StringBuilder
+            var i = 1; var closed = false
+            while (i < rhs.length && !closed) rhs.charAt(i) match {
+              case '"' => closed = true; i += 1
+              case '\\' =>
+                if (i + 1 >= rhs.length) fail(ln, "dangling escape")
+                rhs.charAt(i + 1) match {
+                  case 'n' => sb += '\n'; case 't' => sb += '\t'
+                  case 'r' => sb += '\r'; case '"' => sb += '"'
+                  case '\\' => sb += '\\'
+                  case 'u' =>
+                    if (i + 6 > rhs.length) fail(ln, "bad \\u escape")
+                    sb += Integer.parseInt(rhs.substring(i + 2, i + 6), 16).toChar
+                    i += 4
+                  case other => fail(ln, s"unsupported escape '\\$other'")
+                }
+                i += 2
+              case c => sb += c; i += 1
+            }
+            if (!closed) fail(ln, "unterminated string")
+            val rest = rhs.substring(i).trim
+            if (rest.nonEmpty && !rest.startsWith("#"))
+              fail(ln, s"trailing content after string: '$rest'")
+            sb.toString
+          } else if (rhs.startsWith("'")) {
+            val end = rhs.indexOf('\'', 1)
+            if (end < 0) fail(ln, "unterminated literal string")
+            val rest = rhs.substring(end + 1).trim
+            if (rest.nonEmpty && !rest.startsWith("#"))
+              fail(ln, s"trailing content after string: '$rest'")
+            rhs.substring(1, end)
+          } else {
+            val bare = rhs.indexOf('#') match {
+              case -1 => rhs
+              case h => rhs.substring(0, h).trim
+            }
+            if (!bare.matches("true|false|[+-]?[0-9_]+([.][0-9_]+)?"))
+              fail(ln, s"unsupported value '$bare' (strings must be quoted)")
+            bare.replace("_", "")
+          }
+        out += key.replace('-', '_') -> value
+      }
+    }
+    out.result()
   }
 
   /** Load target TableSpecs from a specs file — the declarative schema

@@ -1,5 +1,6 @@
 package graft.verify
 
+import graft.config.MapConfig
 import graft.lake.LakeTable
 import graft.model._
 import graft.operators.{History, Replay}
@@ -142,6 +143,27 @@ object EventsCdc {
     finalState(replay(spark, dir,
       TableMapping("events", "events_state", filter = Some("value > 10")), spec()),
       outCols)
+
+  /** P1 row filter authored in CEL — the reference's expression language
+    * (`streamer/cel.go:67-146`) — arriving through the REAL map-file path:
+    * a `"lang": "cel"` table entry whose predicate `MapConfig.mappings`
+    * translates once at map-compile time (`config.Cel`). The predicate
+    * exercises the translator's semantic fix-ups (0-based `indexOf` →
+    * `instr - 1`, `matches` → `rlike`, `orValue` → `coalesce`, method
+    * `size` → `length`, CEL precedence `&&` over `||`); the oracle states
+    * the same predicate directly in DuckDB SQL, so a translation error in
+    * ANY of those rules flips rows and fails the hash check. */
+  def qFilterCel(spark: SparkSession, dir: String): DataFrame = {
+    val cel = "(value > 10.0 && event_type.indexOf(\"i\") != 0 || " +
+      "user_id % 7 == 3 && event_type.matches(\"^(purchase|view)$\")) && " +
+      "props.orValue(\"x\").size() != 0"
+    val json = s"""{"databases":[{"name":"d","urls":[{"url":"-","sid":""}],
+      "tables":{"events":{"target":"events_state","lang":"cel",
+      "filter":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(cel)}}}}]}"""
+    val mapping = MapConfig.mappings(MapConfig.parse(json).databases.head).head
+    finalState(replay(spark, dir, mapping, spec()), outCols)
+  }
 
   /** pgoutput wire round-trip under the SAME oracle as cdc_replay_clone:
     * the derived change log is rendered to byte-exact pgoutput chunk files

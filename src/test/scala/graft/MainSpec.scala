@@ -45,6 +45,32 @@ class MainSpec extends AnyFunSuite {
       .getMessage.contains("map_fil"))
   }
 
+  test("TOML settings file: reference-style config, same keys + typo policy") {
+    val dir = SparkTestBase.tmpDir("ptoml")
+    Files.writeString(Paths.get(s"$dir/settings.toml"),
+      """# graft process settings
+        |map_file = "from-toml.json"   # basic string + trailing comment
+        |targets_root = 'lit/eral'
+        |admin_port = 1_234
+        |drain = true
+        |""".stripMargin)
+    val cfg = ProcessConfig.resolve(Seq("--config", s"$dir/settings.toml"))
+    assert(cfg.mapFile == "from-toml.json")
+    assert(cfg.targetsRoot == "lit/eral")
+    assert(cfg.adminPort == 1234)
+    assert(cfg.drain)
+    // same loud-typo policy as JSON; sections and unquoted strings rejected
+    Files.writeString(Paths.get(s"$dir/bad1.toml"), "map_fil = \"x\"\n")
+    assert(intercept[IllegalArgumentException](ProcessConfig.resolve(
+      Seq("--config", s"$dir/bad1.toml"))).getMessage.contains("map_fil"))
+    Files.writeString(Paths.get(s"$dir/bad2.toml"), "[server]\nadmin_port = 1\n")
+    assert(intercept[IllegalArgumentException](ProcessConfig.resolve(
+      Seq("--config", s"$dir/bad2.toml"))).getMessage.contains("flat"))
+    Files.writeString(Paths.get(s"$dir/bad3.toml"), "map_file = x.json\n")
+    assert(intercept[IllegalArgumentException](ProcessConfig.resolve(
+      Seq("--config", s"$dir/bad3.toml"))).getMessage.contains("quoted"))
+  }
+
   test("specs file: ddl + keys + buckets + sid resolve to TableSpecs") {
     val dir = SparkTestBase.tmpDir("pspecs")
     Files.writeString(Paths.get(s"$dir/specs.json"),
