@@ -471,56 +471,63 @@ ORDER BY corpus_id, new_id"""
     * PAIR-INVOLVED vertices only, landed as a (tiny) parquet artifact so
     * the returned frame pins no cache blocks. */
   def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select(col("a"), col("b"))
+    tmpLakeHook
+    val art = java.nio.file.Files.createTempDirectory("graft-clusters")
+    tmpLakes.add(art)
+    // LINEAGE CUT, twice — the non-negotiable part of iterative Spark:
+    // (1) the incoming pair graph's producing DAG can be arbitrarily large
+    // (band joins over text-derived signatures), and (2) `labels` appears
+    // twice per round, so a plan built on plans DOUBLES per round.
+    // Catalyst re-analyzes/re-optimizes the FULL logical tree on every
+    // action (cache substitution only happens at physical planning), so a
+    // persist alone leaves each round paying optimizer time exponential in
+    // the round number over the input DAG — measured 10 s/40 s for rounds
+    // 1/2 on a 90-edge graph. Landing pairs once and each round's labels
+    // to parquet makes every round replan from a constant-size scan leaf.
+    pairsIn.select(col("a"), col("b")).write.parquet(s"$art/pairs.parquet")
+    val pairs = spark.read.parquet(s"$art/pairs.parquet")
+    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       // iterate ONLY over the pair graph's vertices: docs outside any pair
       // never change label, so the iteration state is O(dup-involved docs)
       // — at corpus scale orders of magnitude smaller than the corpus —
       // and singletons join back once at the end
-      var labels = edges.select(col("a").as("doc_id")).distinct()
+      edges.select(col("a").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var cached = labels // unpersist handle for the round's cache entry
+        .write.parquet(s"$art/labels-0.parquet")
+      var labels = spark.read.parquet(s"$art/labels-0.parquet")
       var converged = false
       var iters = 0
       while (!converged) {
         require(iters < ClusterMaxIters,
           s"label propagation did not converge in $ClusterMaxIters rounds")
         iters += 1
+        val t0 = System.nanoTime()
         val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
           .groupBy(edges("a").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        // ONE job per round: the changed flag rides along in the cached
-        // build, so the convergence aggregate both materializes `next`
-        // into the cache and counts label changes in the same action —
-        // no second join-vs-old-labels + count() job per round
-        val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        // the round's write IS its lineage cut; the changed flag rides in
+        // the landed file, so convergence is one trivial scan-aggregate —
+        // no second join-vs-old-labels job per round
+        labels.join(nbrMin, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
               .as("cluster_id"),
             (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
               .cast("long").as("changed"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next
+          .write.parquet(s"$art/labels-$iters.parquet")
+        val landed = spark.read.parquet(s"$art/labels-$iters.parquet")
+        val changed = landed
           .agg(coalesce(sum(col("changed")), lit(0L))).head().getLong(0)
-        cached.unpersist(blocking = false)
-        cached = next
-        labels = next.select(col("doc_id"), col("cluster_id"))
+        if (sys.env.get("GRAFT_CC_DEBUG").contains("1"))
+          println(f"[cc] round=$iters changed=$changed " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        labels = landed.select(col("doc_id"), col("cluster_id"))
         converged = changed == 0
       }
-      // land the converged labels as a (tiny, two-column) parquet artifact
-      // and unpin the iteration cache — the returned frame must not hold a
-      // persisted block hostage (the round-4 telemetry lesson), and the
-      // artifact read keeps everything distributed
-      tmpLakeHook
-      val art = java.nio.file.Files.createTempDirectory("graft-clusters")
-      tmpLakes.add(art)
-      labels.write.parquet(s"$art/labels.parquet")
-      cached.unpersist(blocking = false)
-      spark.read.parquet(s"$art/labels.parquet")
-    } finally pairs.unpersist()
+      labels // parquet-backed: pins no cache blocks (round-4 lesson)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Full per-document cluster frame from a dup-involved label table:
@@ -603,36 +610,51 @@ ORDER BY l.doc_id"""
     * table (same shape), touching only merged clusters and new endpoints —
     * the SignatureStore-composition analog for cluster state. */
   def clustersAgainstLabels(spark: SparkSession, labels: DataFrame,
-                            newPairs: DataFrame): DataFrame = {
-    // endpoint set is bounded by the batch's pair count — broadcast it so
-    // the (corpus-sized) label table is never SHUFFLED, only scanned:
-    // endpoint labels come from a broadcast-right semi join, and the
-    // relabel pass below is a broadcast-left-outer against the tiny root
-    // map — two scans, zero exchanges of the big side (lake-backed, the
-    // scans would additionally zone-prune on cluster_id/doc_id)
-    val ends = newPairs.select(col("a").as("doc_id"))
-      .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
-    val endLabels = labels.join(broadcast(ends), Seq("doc_id"), "left_semi")
-    val roots = ends.join(endLabels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))
-    val rootEdges = newPairs
-      .join(roots.select(col("doc_id").as("a"), col("root").as("ra")), "a")
-      .join(roots.select(col("doc_id").as("b"), col("root").as("rb")), "b")
-      .select(col("ra").as("a"), col("rb").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    // fixpoint over the ROOT graph only; rounds = diameter of the merge
-    // graph, vertices = touched roots
-    val rootMap = propagateLabels(spark, rootEdges)
-      .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
-    val relabeled = labels.as("l")
-      .join(broadcast(rootMap), col("l.cluster_id") === col("root"), "left_outer")
-      .select(col("l.doc_id"),
-        coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
-    val fresh = roots.join(endLabels.select("doc_id"), Seq("doc_id"), "left_anti")
-      .join(rootMap, Seq("root"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("new_root"), col("root")).as("cluster_id"))
-    relabeled.unionAll(fresh)
+                            newPairsIn: DataFrame): DataFrame = {
+    // the pair batch's producing DAG can be arbitrarily expensive (band
+    // join + signature verify over text-derived delta signatures) and is
+    // referenced from several places below — materialize it ONCE; it is
+    // O(batch pairs), the smallest frame in the whole fold
+    val newPairs = newPairsIn.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // endpoint set is bounded by the batch's pair count — broadcast it so
+      // the (corpus-sized) label table is never SHUFFLED, only scanned:
+      // endpoint labels come from a broadcast-right semi join, and the
+      // relabel pass below is a broadcast-left-outer against the tiny root
+      // map — two scans, zero exchanges of the big side (lake-backed, the
+      // scans would additionally zone-prune on cluster_id/doc_id)
+      val ends = newPairs.select(col("a").as("doc_id"))
+        .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
+      val endLabels = labels.join(broadcast(ends), Seq("doc_id"), "left_semi")
+      val roots = ends.join(endLabels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))
+      val rootEdges = newPairs
+        .join(roots.select(col("doc_id").as("a"), col("root").as("ra")), "a")
+        .join(roots.select(col("doc_id").as("b"), col("root").as("rb")), "b")
+        .select(col("ra").as("a"), col("rb").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // fixpoint over the ROOT graph only; rounds = diameter of the merge
+      // graph, vertices = touched roots
+      val rootMap = propagateLabels(spark, rootEdges)
+        .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
+      val relabeled = labels.as("l")
+        .join(broadcast(rootMap), col("l.cluster_id") === col("root"), "left_outer")
+        .select(col("l.doc_id"),
+          coalesce(col("new_root"), col("l.cluster_id")).as("cluster_id"))
+      val fresh = roots.join(endLabels.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(rootMap, Seq("root"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("new_root"), col("root")).as("cluster_id"))
+      // land the updated label table (the production analog writes it back
+      // to the label LAKE table) so downstream consumers — clusterFrame
+      // reads it twice — do not re-execute the whole fold per reference
+      tmpLakeHook
+      val art = java.nio.file.Files.createTempDirectory("graft-labels")
+      tmpLakes.add(art)
+      relabeled.unionAll(fresh).write.parquet(s"$art/labels.parquet")
+      spark.read.parquet(s"$art/labels.parquet")
+    } finally newPairs.unpersist(blocking = false)
   }
 
   /** Driver-contract entry: the first 4/5 of documents plays the ingested
@@ -657,12 +679,19 @@ ORDER BY l.doc_id"""
       (0 until MinhashK).map(k => col(s"h$k")): _*)
     val labels0 = propagateLabels(spark,
       signatureAgreementPairs(corpusSigs, corpusSigs, "dedup_clusters_inc_base"))
-    // steady state: delta text + signatures + labels only
+    // steady state: delta text + signatures + labels only. The delta's
+    // signatures are referenced from both sides of the agreement join
+    // (bands + verify, 4 subtree references) — in production they arrive
+    // already materialized from the ingest batch (SignatureStore), so
+    // compute the text-derived stand-in ONCE here too
     val deltaSigs = minhashSignatures(d.filter(col("doc_id") >= split))
       .select(corpusSigs.columns.map(col).toSeq: _*)
-    val newPairs = signatureAgreementPairs(
-      corpusSigs.unionAll(deltaSigs), deltaSigs, "dedup_clusters_incremental")
-    clusterFrame(spark, dir, clustersAgainstLabels(spark, labels0, newPairs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newPairs = signatureAgreementPairs(
+        corpusSigs.unionAll(deltaSigs), deltaSigs, "dedup_clusters_incremental")
+      clusterFrame(spark, dir, clustersAgainstLabels(spark, labels0, newPairs))
+    } finally deltaSigs.unpersist(blocking = false)
   }
 
   val dedupClustersIncrementalOracle: String = {
