@@ -455,9 +455,10 @@ ORDER BY corpus_id, new_id"""
   // Deterministic: cluster_id = the component's minimum doc_id.
   // ---------------------------------------------------------------------
 
-  /** Max label-propagation rounds before failing loudly (a near-dup graph
-    * with diameter beyond this indicates a degenerate corpus or a
-    * too-loose threshold — not something to silently under-merge). */
+  /** Max label-propagation rounds before failing loudly. With pointer
+    * doubling each round also adopts its label's label, so rounds needed
+    * ~ log2(diameter): 20 rounds covers any graph a physical corpus can
+    * produce — hitting the cap indicates a propagation bug, not data. */
   val ClusterMaxIters = 20
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -507,15 +508,22 @@ ORDER BY corpus_id, new_id"""
         val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
           .groupBy(edges("a").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
+        // pointer doubling: every cluster_id is itself a vertex (labels
+        // start as own-id and only ever adopt another vertex's id), so
+        // label(label) is one more self-join — rounds needed drop from
+        // O(diameter) to O(log diameter), which is what lets a single
+        // fail-loud cap cover arbitrarily chain-shaped duplicate graphs
+        val grand = labels.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("g"))
         // the round's write IS its lineage cut; the changed flag rides in
         // the landed file, so convergence is one trivial scan-aggregate —
         // no second join-vs-old-labels job per round
+        val best = least(col("cluster_id"), col("g"),
+          coalesce(col("nbr_min"), col("cluster_id")))
         labels.join(nbrMin, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"),
-            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
-              .cast("long").as("changed"))
+          .join(grand, Seq("cluster_id"))
+          .select(col("doc_id"), best.as("cluster_id"),
+            (best < col("cluster_id")).cast("long").as("changed"))
           .write.parquet(s"$art/labels-$iters.parquet")
         val landed = spark.read.parquet(s"$art/labels-$iters.parquet")
         val changed = landed

@@ -71,6 +71,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("label propagation: a 200-hop path converges (pointer doubling)") {
+    import spark.implicits._
+    // a pure path graph has diameter = vertex count - 1; plain min-label
+    // propagation needs one round per hop and would trip ClusterMaxIters
+    // at 20 — pointer doubling converges in ~log2(diameter) rounds
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val lbl = TextPipeline.propagateLabels(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size == 200 && lbl.values.forall(_ == 0L),
+      "every path vertex must adopt the component minimum")
+  }
+
   test("near-dup clustering: transitive chains collapse to one canonical doc") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("clusters")
