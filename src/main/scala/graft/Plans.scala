@@ -11,7 +11,9 @@ object Plans {
   private val DefaultQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_incremental", "dedup_clusters", "dedup_clusters_incremental",
-    "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk")
+    "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk",
+    "pipeline_pack_sequences", "pipeline_decontaminate",
+    "pipeline_mix_sample")
 
   // knnBrute deliberately broadcasts the 5-row query side into a non-equi
   // join; annIvf's probe selection cross-joins queries with the BROADCAST
@@ -27,7 +29,15 @@ object Plans {
     // the incremental relabel pass must stay a BROADCAST of the tiny root
     // map against the big label table (a SortMergeJoin here would shuffle
     // the whole persisted label table per delta batch)
-    "dedup_clusters_incremental" -> Seq("BroadcastHashJoin [cluster_id"))
+    "dedup_clusters_incremental" -> Seq("BroadcastHashJoin [cluster_id"),
+    // packing's block offsets must BROADCAST back (a sort-merge join here
+    // would shuffle the corpus a third time), and the corpus-side window
+    // must be partitioned by blk (a global-order window = one task)
+    "pipeline_pack_sequences" -> Seq("BroadcastHashJoin [blk"),
+    // eval grams must broadcast against the corpus gram stream
+    "pipeline_decontaminate" -> Seq("BroadcastHashJoin [gram"),
+    // the tiny per-source totals must broadcast back onto the corpus scan
+    "pipeline_mix_sample" -> Seq("BroadcastHashJoin [source"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -69,6 +69,9 @@ object SparkEntry {
     "text_fingerprint" -> TextPipeline.fingerprint,
     "pipeline_curation" -> TextPipeline.curation,
     "pipeline_curation_clustered" -> TextPipeline.curationClustered,
+    "pipeline_pack_sequences" -> TextPipeline.packSequences,
+    "pipeline_decontaminate" -> TextPipeline.decontaminate,
+    "pipeline_mix_sample" -> TextPipeline.mixSample,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMeta,
     "mm_frame_sample" -> operators.Multimodal.frameSample,
@@ -130,6 +133,9 @@ object SparkEntry {
     "text_fingerprint" -> TextPipeline.fingerprintOracle,
     "pipeline_curation" -> TextPipeline.curationOracle,
     "pipeline_curation_clustered" -> TextPipeline.curationClusteredOracle,
+    "pipeline_pack_sequences" -> TextPipeline.packSequencesOracle,
+    "pipeline_decontaminate" -> TextPipeline.decontaminateOracle,
+    "pipeline_mix_sample" -> TextPipeline.mixSampleOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
     "mm_frame_sample" -> operators.Multimodal.frameSampleOracle,

@@ -1023,4 +1023,177 @@ SELECT doc_id, reason = 'keep' AS keep, reason FROM dec ORDER BY doc_id"""
   val binaryMetaOracle: String =
     """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
 FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // X15: training-sequence packing — the standard pretraining layout:
+  // concatenate every doc's token stream (plus one end-of-doc separator)
+  // in doc_id order and cut the stream into fixed-length sequences.
+  // The operator assigns each doc its global token offset and the
+  // sequence indices it lands in. The global prefix sum is the scale
+  // problem: a bare Window.orderBy(doc_id) puts the WHOLE corpus in one
+  // task. Instead: deterministic contiguous doc_id blocks -> per-block
+  // token totals (map-side-combined groupBy) -> block offsets via a
+  // window over the BLOCK TOTALS ONLY (<= PackBlocks rows — the only
+  // single-partition step, bounded by the knob, not the corpus) ->
+  // broadcast the offsets back and cumsum within each block. Two corpus
+  // shuffles total, both keyed by blk; no driver-side data beyond the
+  // 2-value min/max bounds.
+  // ---------------------------------------------------------------------
+
+  /** Tokens per training sequence (the cut width). */
+  val PackSeqLen = 2048
+  /** Upper bound on prefix-sum blocks: the single-partition block-offset
+    * window and the broadcast both hold <= this many rows. At 100 TB
+    * raise it (1M blocks = ~16 MB broadcast) so per-block window state
+    * stays ~corpus/PackBlocks rows. */
+  val PackBlocks: Long =
+    sys.env.get("GRAFT_PACK_BLOCKS").map(_.toLong).getOrElse(4096L)
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(spark, dir).select(col("doc_id"),
+      (size(words) + 1).cast("long").as("tok")) // +1 = end-of-doc separator
+    val bounds = tok.agg(min("doc_id"), max("doc_id")).head()
+    val lo = bounds.getLong(0)
+    val g = (bounds.getLong(1) - lo) / PackBlocks + 1
+    val t = tok.withColumn("blk", expr(s"(doc_id - $lo) div $g"))
+    val blkOff = t.groupBy("blk").agg(sum("tok").as("btok"))
+      .select(col("blk"), coalesce(sum("btok").over(
+        Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("boff"))
+    val inBlk = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(blkOff), Seq("blk"))
+      .withColumn("start_off",
+        col("boff") + coalesce(sum("tok").over(inBlk), lit(0L)))
+      .select(col("doc_id"), col("tok"), col("start_off"),
+        expr(s"start_off div $PackSeqLen").as("seq_first"),
+        expr(s"(start_off + tok - 1) div $PackSeqLen").as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("doc_id")
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) + 1 AS BIGINT) AS tok
+  FROM documents),
+c AS (SELECT doc_id, tok,
+  CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM t)
+SELECT doc_id, tok, start_off,
+  start_off // $PackSeqLen AS seq_first,
+  (start_off + tok - 1) // $PackSeqLen AS seq_last,
+  (start_off + tok - 1) // $PackSeqLen - start_off // $PackSeqLen + 1 AS n_seqs
+FROM c ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // X16: benchmark decontamination — flag corpus docs sharing any word
+  // 8-gram with an evaluation set (the standard n-gram-overlap
+  // contamination test: a training doc containing a benchmark passage
+  // inflates eval scores). The eval set here is the deterministic
+  // stand-in doc_id % ContamMod == 0; a deployment points the same shape
+  // at its benchmark table. Scale: eval sets are tiny next to the
+  // corpus, so eval grams BROADCAST; the corpus side is one scan with
+  // per-row gram generation (array_distinct keeps dedup inside the row —
+  // no corpus-wide distinct shuffle) and only the HITS shuffle into the
+  // final per-doc aggregate.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic eval-set stand-in: docs with doc_id % ContamMod == 0. */
+  val ContamMod = 97L
+  /** Contamination n-gram width (8 words, the common decontam choice). */
+  val ContamGram = 8
+
+  private def grams8(w: Column): Column =
+    when(size(w) >= ContamGram,
+      array_distinct(transform(sequence(lit(1), size(w) - (ContamGram - 1)), i =>
+        concat_ws(" ", (0 until ContamGram).map(o => element_at(w, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val evalGrams = d.filter(col("doc_id") % ContamMod === 0)
+      .select(col("doc_id"), explode(grams8(words)).as("gram"))
+      .groupBy("gram").agg(min("doc_id").as("first_eval_id"))
+    d.filter(col("doc_id") % ContamMod =!= 0)
+      .select(col("doc_id"), explode(grams8(words)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hit_grams"), min("first_eval_id").as("first_eval_id"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - ${ContamGram - 2}),
+    i -> array_to_string(ws[i:i+${ContamGram - 1}], ' ')))) AS gram
+  FROM w WHERE len(ws) >= $ContamGram),
+e AS (SELECT gram, min(doc_id) AS first_eval_id FROM g
+  WHERE doc_id % $ContamMod = 0 GROUP BY gram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hit_grams, min(e.first_eval_id) AS first_eval_id
+FROM g JOIN e ON e.gram = g.gram
+WHERE g.doc_id % $ContamMod <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+  // ---------------------------------------------------------------------
+  // X17: source-balanced mixture sampling — the data-mixture step of a
+  // pretraining pipeline: down-sample each source so every source
+  // contributes (up to) the same token mass as the SMALLEST source.
+  // The keep decision is a pure function of doc_id (a 20-bit uniform
+  // drawn from the doc's md5), so the sample is deterministic,
+  // reproducible across engines, and stable under corpus re-partitioning
+  // — no Spark `sample()` (seeded per-partition => layout-dependent).
+  // Scale: per-source totals are one map-side-combined groupBy (rows =
+  // distinct sources, tiny) broadcast back; the keep filter is a narrow
+  // map over one corpus scan. The u20*ts < tmin<<20 comparison is exact
+  // int64 up to ~8.8e12 tokens/source (~35 TB of text per source);
+  // beyond that, right-shift both totals by a common constant first
+  // (ratio-preserving) — the comparison only needs their ratio.
+  // ---------------------------------------------------------------------
+
+  /** Resolution of the per-doc uniform: 5 md5 hex nibbles = 20 bits. */
+  val MixBits = 20
+
+  /** Portable SQL (Spark AND DuckDB) for the 20-bit uniform drawn from
+    * the first 5 hex nibbles of md5(doc_id) — ascii() arithmetic because
+    * neither engine shares a hex→int builtin with the other. */
+  private def mixU20Sql(h5: String): String =
+    (1 to 5).map { j =>
+      val a = s"ascii(substr($h5, $j, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END) * ${1L << (4 * (5 - j))}"
+    }.mkString(" + ")
+
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(words).cast("long").as("tok"))
+    // tmin rides the totals table via an unpartitioned window — totals is
+    // #sources rows, so the single-partition window is bounded and the
+    // corpus sees ONE broadcast hash join (a crossJoin of the 1-row min
+    // would plan as a BroadcastNestedLoopJoin)
+    val totals = t.groupBy("source").agg(sum("tok").as("ts"))
+      .withColumn("tmin", min("ts").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    t.join(broadcast(totals), Seq("source"))
+      .withColumn("h5", expr("substr(md5(CAST(doc_id AS STRING)), 1, 5)"))
+      .withColumn("u20", expr(mixU20Sql("h5")).cast("long"))
+      .filter(col("u20") * col("ts") < col("tmin") * lit(1L << MixBits))
+      .select("doc_id", "source", "tok", "u20")
+      .orderBy("doc_id")
+  }
+
+  val mixSampleOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok,
+  substr(md5(CAST(doc_id AS STRING)), 1, 5) AS h5
+  FROM documents),
+s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS ts FROM t GROUP BY source),
+m AS (SELECT CAST(min(ts) AS BIGINT) AS tmin FROM s),
+u AS (SELECT t.doc_id, t.source, t.tok, s.ts, m.tmin,
+  CAST(${mixU20Sql("h5")} AS BIGINT) AS u20
+  FROM t JOIN s USING (source) CROSS JOIN m)
+SELECT doc_id, source, tok, u20 FROM u
+WHERE u20 * ts < tmin * ${1L << MixBits} ORDER BY doc_id"""
 }

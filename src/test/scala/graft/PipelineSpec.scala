@@ -148,6 +148,105 @@ class PipelineSpec extends AnyFunSuite {
     assert(updated.size == 10)
   }
 
+  test("sequence packing: blocked prefix sum equals the global cumsum") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("pack")
+    // 9000 docs with NON-DENSE ids (step 7) and varying word counts, so
+    // the default 4096-block split yields multi-doc blocks (g = 3) and the
+    // id domain has gaps — the blocked two-pass sum must match the plain
+    // sequential cumsum exactly across every block boundary
+    val docs = (0 until 9000).map { i =>
+      val id = i.toLong * 7
+      val t = (0 to i % 13).map(j => s"w${i}x$j").mkString(" ")
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val got = TextPipeline.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 9000)
+    var off = 0L
+    got.sortBy(_._1).foreach { case (id, tok, start, sf, sl, n) =>
+      assert(tok == (id / 7 % 13) + 2, s"doc $id token count") // words + 1
+      assert(start == off, s"doc $id offset: got $start want $off")
+      assert(sf == start / TextPipeline.PackSeqLen)
+      assert(sl == (start + tok - 1) / TextPipeline.PackSeqLen)
+      assert(n == sl - sf + 1 && n >= 1)
+      off += tok
+    }
+  }
+
+  test("decontamination: 8-gram overlap with the eval set flags docs") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("contam")
+    val passage = (0 until 8).map(i => s"bench$i").mkString(" ") // one 8-gram
+    val other = (0 until 8).map(i => s"quiz$i").mkString(" ")
+    val filler = (0 until 10).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$passage end marker"), // eval doc (0 % 97 == 0)
+      (97L, s"$other trailing words here"), // second eval doc
+      (1L, s"prefix text $passage"), // contaminated by doc 0
+      (2L, s"$passage mid $other"), // contaminated by both evals
+      (3L, filler), // >= 8 words, no shared gram
+      (4L, "short doc")) // < 8 words: no grams at all
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val got = TextPipeline.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: grams of "prefix text bench0..bench7" sliding over 10 words —
+    // exactly one of its three 8-grams is the benchmark passage
+    assert(got(1L) == (1L, 0L), s"doc 1: $got")
+    // doc 2 hits the doc-0 passage AND doc-97's gram; first_eval_id = min
+    assert(got(2L)._1 >= 2L && got(2L)._2 == 0L, s"doc 2: $got")
+    assert(!got.contains(3L) && !got.contains(4L), s"clean docs absent: $got")
+    assert(!got.contains(0L) && !got.contains(97L), "eval docs are not self-flagged")
+  }
+
+  test("mixture sampling: keeps all of the smallest source, balances the rest") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("mix")
+    // source "small": 100 docs x 5 words = 500 tokens
+    // source "big":  2000 docs x 10 words = 20000 tokens (rate 1/40)
+    val docs = ((0 until 100).map { i =>
+      (i.toLong, (0 until 5).map(j => s"s${i}w$j").mkString(" "), "small")
+    } ++ (0 until 2000).map { i =>
+      (1000L + i, (0 until 10).map(j => s"b${i}w$j").mkString(" "), "big")
+    }).map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val got = TextPipeline.mixSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (small, big) = got.partition(_._2 == "small")
+    // ts == tmin for the smallest source => u20 < 2^20 always => ALL kept
+    assert(small.length == 100, s"smallest source fully kept: ${small.length}")
+    // big source: P(keep) = 500/20000 = 1/40; E = 50 docs. The u20 draw is
+    // a fixed function of doc_id, so this is a deterministic count — bound
+    // it loosely (binomial 3-sigma ~ +-21) against hash-quality regressions
+    assert(big.length > 20 && big.length < 100, s"big source thinned: ${big.length}")
+    // the keep rule is exactly u20 * ts < tmin << 20, u20 = first 5 md5 nibbles
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def u20(id: Long): Long = {
+      val hex = mdig.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    big.foreach { case (id, _, tok, u) =>
+      assert(tok == 10L && u == u20(id), s"doc $id u20")
+      assert(u * 20000L < 500L * (1L << 20), s"doc $id keep rule")
+    }
+    val keptIds = big.map(_._1).toSet
+    (0 until 2000).map(i => 1000L + i).filterNot(keptIds).take(5).foreach { id =>
+      assert(u20(id) * 20000L >= 500L * (1L << 20), s"doc $id drop rule")
+    }
+    // deterministic: a second run returns the identical set
+    val again = TextPipeline.mixSample(spark, dir).collect().map(_.getLong(0))
+    assert(again.toSeq == got.map(_._1).toSeq)
+  }
+
   test("planted duplicates: exact + simhash + ngram detect them") {
     val dir = SparkTestBase.tmpDir("plant")
     import spark.implicits._
