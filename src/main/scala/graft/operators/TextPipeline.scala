@@ -26,6 +26,19 @@ object TextPipeline {
   /** Words (space-split, empties dropped) and word-3-gram shingles. */
   private val words: Column = filter(split(col("text"), " "), w => w =!= "")
 
+  /** Bind `arr` ONCE per row as a HOF lambda variable, then apply the
+    * array-producing `f` to the bound variable. Interpreted HOFs
+    * (CodegenFallback — every Spark higher-order function) re-evaluate an
+    * INLINED child expression at every reference inside the lambda body:
+    * a shingle builder whose lambda closes over filter(split(text))
+    * re-splits the document per element_at, turning the O(words) pass
+    * into O(n · grams · words). The singleton-array transform makes the
+    * inner references read a bound variable instead — measured 11.9 →
+    * 0.6 s for the 8-gram corpus explode at sf0.1, same shape for the
+    * 3-gram shingles feeding the whole dedup family. */
+  private def bound(arr: Column)(f: Column => Column): Column =
+    flatten(transform(array(arr), f))
+
   private def shingles(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i =>
@@ -34,7 +47,7 @@ object TextPipeline {
 
   /** (doc_id, s) distinct shingle pairs. */
   private def shingleSet(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(shingles(words)).as("s")).distinct()
+    d.select(col("doc_id"), explode(bound(words)(shingles)).as("s")).distinct()
 
   private val shingleSetSql =
     """w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
@@ -1105,34 +1118,41 @@ FROM c ORDER BY doc_id"""
   /** Contamination n-gram width (8 words, the common decontam choice). */
   val ContamGram = 8
 
+  // NOT deduped per row: an in-row array_distinct pays O(grams^2) string
+  // compares on EVERY corpus doc, while duplicate grams only matter for
+  // the rare docs that HIT — countDistinct after the join dedups exactly
+  // those (gram CONSTRUCTION dominates either way; this keeps the
+  // quadratic term off the hot path on real text, where in-doc repetition
+  // is common)
   private def grams8(w: Column): Column =
     when(size(w) >= ContamGram,
-      array_distinct(transform(sequence(lit(1), size(w) - (ContamGram - 1)), i =>
-        concat_ws(" ", (0 until ContamGram).map(o => element_at(w, i + o)): _*))))
+      transform(sequence(lit(1), size(w) - (ContamGram - 1)), i =>
+        concat_ws(" ", (0 until ContamGram).map(o => element_at(w, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val evalGrams = d.filter(col("doc_id") % ContamMod === 0)
-      .select(col("doc_id"), explode(grams8(words)).as("gram"))
+      .select(col("doc_id"), explode(bound(words)(grams8)).as("gram"))
       .groupBy("gram").agg(min("doc_id").as("first_eval_id"))
     d.filter(col("doc_id") % ContamMod =!= 0)
-      .select(col("doc_id"), explode(grams8(words)).as("gram"))
+      .select(col("doc_id"), explode(bound(words)(grams8)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("hit_grams"), min("first_eval_id").as("first_eval_id"))
+      .agg(countDistinct("gram").as("hit_grams"),
+        min("first_eval_id").as("first_eval_id"))
       .orderBy("doc_id")
   }
 
   val decontaminateOracle: String =
     s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
   FROM documents),
-g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - ${ContamGram - 2}),
-    i -> array_to_string(ws[i:i+${ContamGram - 1}], ' ')))) AS gram
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${ContamGram - 2}),
+    i -> array_to_string(ws[i:i+${ContamGram - 1}], ' '))) AS gram
   FROM w WHERE len(ws) >= $ContamGram),
 e AS (SELECT gram, min(doc_id) AS first_eval_id FROM g
   WHERE doc_id % $ContamMod = 0 GROUP BY gram)
-SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hit_grams, min(e.first_eval_id) AS first_eval_id
+SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS hit_grams, min(e.first_eval_id) AS first_eval_id
 FROM g JOIN e ON e.gram = g.gram
 WHERE g.doc_id % $ContamMod <> 0
 GROUP BY g.doc_id ORDER BY g.doc_id"""

@@ -49,16 +49,22 @@ class KnobsSpec extends AnyFunSuite {
     // the telemetry rides the operator's own candidate join (CollectMetrics
     // observation, harvested async by a QueryExecutionListener) — running
     // the operator's action records it; no env flag, no extra job
-    def awaitStats(op: String): Similarity.CandidateStats = {
+    // the registry is JVM-global and listener delivery is async: another
+    // suite's run of the same operator (on different data) may have left
+    // a record, so snapshot BEFORE the action and await a change — a
+    // bare await-non-empty returns the stale record and races the fresh one
+    def awaitStats(op: String, before: Option[Similarity.CandidateStats])
+    : Similarity.CandidateStats = {
       val deadline = System.nanoTime() + 10L * 1000000000L
       var s = Similarity.lastCandidateStats(op)
-      while (s.isEmpty && System.nanoTime() < deadline) {
+      while ((s.isEmpty || s == before) && System.nanoTime() < deadline) {
         Thread.sleep(50); s = Similarity.lastCandidateStats(op)
       }
       s.getOrElse(fail(s"$op must record candidate-volume telemetry"))
     }
+    val cosBefore = Similarity.lastCandidateStats("embed_cosine_dedup")
     val nPairs = Similarity.cosineDedup(spark, sf).count()
-    val rec = awaitStats("embed_cosine_dedup")
+    val rec = awaitStats("embed_cosine_dedup", cosBefore)
     assert(rec.collidingBuckets > 0)
     assert(nPairs <= rec.candidatePairs,
       s"verified pairs must be bounded by the recorded candidate volume $rec")
@@ -78,8 +84,9 @@ class KnobsSpec extends AnyFunSuite {
       s"observed join volume must equal the exact histogram's pair volume")
     assert(rec.maxOccupancyBound >= exact.maxOccupancy)
 
+    val mhBefore = Similarity.lastCandidateStats("dedup_minhash_lsh")
     val mhPairs = TextPipeline.dedupMinhashLsh(spark, sf).count()
-    val mhRec = awaitStats("dedup_minhash_lsh")
+    val mhRec = awaitStats("dedup_minhash_lsh", mhBefore)
     assert(mhPairs <= mhRec.candidatePairs)
 
     // composing the SAME operator twice in one query must not collide on
