@@ -529,8 +529,21 @@ object Cel {
       op match {
         case "&&" => s"($el AND $er)"
         case "||" => s"($el OR $er)"
-        case "==" => s"($el = $er)"
-        case "!=" => s"($el <> $er)"
+        // CEL null equality is a real test (x == null is true/false), but
+        // SQL `= NULL` is always NULL — must emit IS [NOT] NULL or the
+        // predicate silently drops every row
+        case "==" => (l, r) match {
+          case (_: NNull, _: NNull) => "(TRUE)"
+          case (_: NNull, _) => s"($er IS NULL)"
+          case (_, _: NNull) => s"($el IS NULL)"
+          case _ => s"($el = $er)"
+        }
+        case "!=" => (l, r) match {
+          case (_: NNull, _: NNull) => "(FALSE)"
+          case (_: NNull, _) => s"($er IS NOT NULL)"
+          case (_, _: NNull) => s"($el IS NOT NULL)"
+          case _ => s"($el <> $er)"
+        }
         case "<" | "<=" | ">" | ">=" => s"($el $op $er)"
         case "in" =>
           (r, kindOf(r, env)) match {
@@ -609,8 +622,10 @@ object Cel {
         case Some("lists") =>
           return fn match {
             case "range" =>
-              val x = a(0) // empty when n <= 0; sequence alone would count DOWN
-              s"slice(sequence(0, greatest($x, 1) - 1), 1, $x)"
+              // empty when n <= 0; sequence alone would count DOWN, and a
+              // runtime-negative slice length is a Spark error — clamp it
+              val x = a(0)
+              s"slice(sequence(0, greatest($x, 1) - 1), 1, greatest($x, 0))"
             case other => err(s"unsupported lists.$other", c)
           }
         case Some("cel") if fn == "bind" =>
@@ -794,12 +809,16 @@ object Cel {
       * group (CEL extract returns the group), else 0 (whole match). */
     private def groupOf(pattern: Node): String = pattern match {
       case NStr(s, _) =>
-        var i = 0; var groups = 0
+        var i = 0; var groups = 0; var inClass = false
         while (i < s.length) {
           if (s.charAt(i) == '\\') i += 2
           else {
-            if (s.charAt(i) == '(' &&
-                !(i + 2 < s.length && s.charAt(i + 1) == '?')) groups += 1
+            val c = s.charAt(i)
+            // '(' inside a character class is a literal, not a group
+            if (c == '[' && !inClass) inClass = true
+            else if (c == ']' && inClass) inClass = false
+            else if (c == '(' && !inClass &&
+                !(i + 1 < s.length && s.charAt(i + 1) == '?')) groups += 1
             i += 1
           }
         }

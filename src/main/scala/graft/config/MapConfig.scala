@@ -74,13 +74,45 @@ object MapConfig {
       .map(_ => s"${m.target}_signatures")
 
   /** Resolve one database's table map to engine mappings (the analog of
-    * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). */
+    * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). Callers
+    * that know the source-row schema should use the [[mappings(db,kindsFor)*]]
+    * overload: CEL translation is type-dependent (int `/` is `div`, `size`
+    * vs `length`), and without hints every column infers Unknown. */
   def mappings(db: SourceDatabase): Seq[TableMapping] =
+    mappings(db, (_, _) => Map.empty)
+
+  /** [[Cel.translate]] kind hints from a Spark schema — the analog of the
+    * reference building the CEL type env from PG column types
+    * (`streamer/cel.go:94-127`). Unmapped Spark types are simply unhinted. */
+  def kindsOf(schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.flatMap { f =>
+      val k = f.dataType match {
+        case StringType => Some("string")
+        case BinaryType => Some("bytes")
+        case ByteType | ShortType | IntegerType | LongType => Some("int")
+        case FloatType | DoubleType | _: DecimalType => Some("double")
+        case BooleanType => Some("bool")
+        case TimestampType | TimestampNTZType | DateType => Some("timestamp")
+        case _: ArrayType => Some("list")
+        case _: MapType => Some("map")
+        case _ => None
+      }
+      k.map(f.name -> _)
+    }.toMap
+  }
+
+  /** As [[mappings(db)*]], with `kindsFor(sourceTable, resolvedTarget)`
+    * supplying per-column kind hints for type-dependent CEL translation
+    * from the caller's schema authority (TableSpec / lake schema). */
+  def mappings(db: SourceDatabase,
+               kindsFor: (String, String) => Map[String, String]): Seq[TableMapping] =
     db.tables.toSeq.sortBy(_._1).map { case (src, t) =>
+      val target = t.target.getOrElse(src)
       val xl: String => String = t.lang.map(_.toLowerCase) match {
         case None | Some("sql") => identity
         case Some("cel") => e =>
-          try Cel.translate(e)
+          try Cel.translate(e, kindsFor(src, target))
           catch {
             case ce: Cel.CelError => throw new IllegalArgumentException(
               s"table '$src': cannot translate CEL expression: ${ce.getMessage}", ce)
@@ -90,7 +122,7 @@ object MapConfig {
       }
       TableMapping(
         sourceTable = src,
-        target = t.target.getOrElse(src),
+        target = target,
         mode = TableMode.parse(t.`type`.getOrElse("clone")),
         partitionsRegex = t.partitions_regex,
         filter = t.filter.map(xl),

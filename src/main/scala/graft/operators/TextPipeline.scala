@@ -286,27 +286,13 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   /** Dedup a new document batch against a PERSISTED corpus signature
     * table: band-join candidates, signature-agreement verify. The only
     * text scanned is the delta's. */
-  def dedupAgainstSignatures(corpusSigs: DataFrame, delta: DataFrame): DataFrame = {
-    val deltaSigs = minhashSignatures(delta)
-    val corpusBands = sigBands(corpusSigs)
-    val cand = Similarity.observeCandidates("dedup_incremental",
-      corpusBands.as("x").join(sigBands(deltaSigs).as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk")),
-      struct(col("x.band"), col("x.bk")))
-      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"))
-      .distinct()
-    val ca = corpusSigs.select(col("doc_id").as("corpus_id") +:
-      (0 until MinhashK).map(k => col(s"h$k").as(s"a_h$k")): _*)
-    val cb = deltaSigs.select(col("doc_id").as("new_id") +:
-      (0 until MinhashK).map(k => col(s"h$k").as(s"b_h$k")): _*)
-    cand.join(ca, "corpus_id").join(cb, "new_id")
-      .withColumn("match_cnt", (0 until MinhashK).map(k =>
-        when(col(s"a_h$k") === col(s"b_h$k"), 1L).otherwise(0L)).reduce(_ + _))
-      .filter(col("match_cnt") >= IncMinMatch)
+  def dedupAgainstSignatures(corpusSigs: DataFrame, delta: DataFrame): DataFrame =
+    sigAgreement(corpusSigs, minhashSignatures(delta), "dedup_incremental",
+      symmetric = false)
       .withColumn("jac_est_e3", expr(s"match_cnt * 1000L div $MinhashK"))
-      .select("corpus_id", "new_id", "match_cnt", "jac_est_e3")
+      .select(col("a").as("corpus_id"), col("b").as("new_id"),
+        col("match_cnt"), col("jac_est_e3"))
       .orderBy("corpus_id", "new_id")
-  }
 
   // temp signature lakes built by the driver-contract entries are removed
   // on JVM exit (one shutdown hook, dirs accumulated)
@@ -608,11 +594,23 @@ ORDER BY l.doc_id"""
     * (match_cnt >= IncMinMatch) emitted as a symmetric (a, b) pair set;
     * `a < b` dedups the delta-delta half. No text on either side. */
   private def signatureAgreementPairs(left: DataFrame, right: DataFrame,
-                                      opLabel: String): DataFrame = {
+                                      opLabel: String): DataFrame =
+    sigAgreement(left, right, opLabel, symmetric = true).select("a", "b")
+
+  /** THE D5 signature-agreement predicate — the single definition every
+    * incremental-dedup/clustering path speaks (a divergence here would
+    * silently split the full and incremental families): LSH band-join
+    * candidates over [[sigBands]], then >= [[IncMinMatch]] of the
+    * [[MinhashK]] minhashes agreeing. `symmetric` adds `a < b` (self-join
+    * pair dedup); asymmetric keeps every (left, right) hit. Returns
+    * (a, b, match_cnt). */
+  private def sigAgreement(left: DataFrame, right: DataFrame, opLabel: String,
+                           symmetric: Boolean): DataFrame = {
+    val bandEq = col("x.band") === col("y.band") && col("x.bk") === col("y.bk")
+    val joinCond = if (symmetric) bandEq && col("x.doc_id") < col("y.doc_id")
+                   else bandEq
     val cand = Similarity.observeCandidates(opLabel,
-      sigBands(left).as("x").join(sigBands(right).as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id")),
+      sigBands(left).as("x").join(sigBands(right).as("y"), joinCond),
       struct(col("x.band"), col("x.bk")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val la = left.select(col("doc_id").as("a") +:
@@ -623,7 +621,6 @@ ORDER BY l.doc_id"""
       .withColumn("match_cnt", (0 until MinhashK).map(k =>
         when(col(s"a_h$k") === col(s"b_h$k"), 1L).otherwise(0L)).reduce(_ + _))
       .filter(col("match_cnt") >= IncMinMatch)
-      .select("a", "b")
   }
 
   /** Incremental union-find: fold a batch of newly-verified pairs into a

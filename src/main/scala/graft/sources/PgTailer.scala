@@ -79,12 +79,18 @@ object PgTailer {
     case _ => throw new IllegalArgumentException(s"bad LSN '$s'")
   }
 
+  // shared: ObjectMapper construction is expensive (module scan + caches)
+  // and committedWatermark runs every status interval
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The committed watermark to ack: `--ack-lake` reads the newest lake
     * manifest's `lsn-high-watermark` property (the value the engine's
     * transactional writer commits atomically with the data — LakeTable
     * layout `<root>/_meta/v%020d.json`, reader takes max); `--ack-file`
     * reads a plain decimal-or-`X/X` file. Absent/unreadable → None (the
-    * session acks its start LSN until the first downstream commit). */
+    * session acks 0 = "no information" until the first downstream commit —
+    * never a position the downstream has not committed, or the server
+    * could reclaim WAL the engine still needs). */
   def committedWatermark(cfg: Config): Option[Long] = {
     def fromLake(root: Path): Option[Long] = {
       val meta = root.resolve("_meta")
@@ -99,7 +105,7 @@ object PgTailer {
         } finally s.close()
       if (newest.isEmpty) return None
       val json = new String(Files.readAllBytes(newest.get), UTF_8)
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = jsonMapper
         .readTree(json).path("properties").path("lsn-high-watermark")
       if (node.isMissingNode) None
       else Option(node.asText()).filter(_ != "-1").map(_.toLong).filter(_ >= 0L)
@@ -217,13 +223,46 @@ object PgTailer {
   /** One backend message: tag + payload (length prefix stripped). */
   final case class Msg(tag: Char, body: Array[Byte])
 
-  private def readMsg(in: DataInputStream): Msg = {
-    val tag = in.read()
+  /** Read exactly `buf.length - off` more bytes, retrying across
+    * SO_TIMEOUTs. A timeout MID-message is not idle — part of the frame
+    * was already consumed, and abandoning it would desynchronize the byte
+    * stream (the next read would parse payload bytes as a message tag).
+    * `InputStream.read` consumes nothing when it times out, so retrying
+    * here is safe; a server stalled longer than its own wal_sender_timeout
+    * drops the connection, which surfaces as EOF → the reconnect path. */
+  private def readPatient(in: DataInputStream, buf: Array[Byte]): Unit = {
+    var off = 0
+    while (off < buf.length) {
+      val n =
+        try in.read(buf, off, buf.length - off)
+        catch { case _: SocketTimeoutException => 0 }
+      if (n < 0) throw new EOFException("server closed connection mid-message")
+      off += n
+    }
+  }
+
+  /** One message, or None on an SO_TIMEOUT at the TAG byte — the only
+    * position where a timeout means "idle at a message boundary". */
+  private def tryReadMsg(in: DataInputStream): Option[Msg] = {
+    val tag =
+      try in.read()
+      catch { case _: SocketTimeoutException => return None }
     if (tag < 0) throw new EOFException("server closed connection")
-    val len = in.readInt()
+    val lenBuf = new Array[Byte](4)
+    readPatient(in, lenBuf)
+    val len = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+      ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
     val body = new Array[Byte](len - 4)
-    in.readFully(body)
-    Msg(tag.toChar, body)
+    readPatient(in, body)
+    Some(Msg(tag.toChar, body))
+  }
+
+  /** Blocking variant for the handshake phases, where no status loop runs
+    * between messages: waits across boundary timeouts too. */
+  private def readMsg(in: DataInputStream): Msg = {
+    var m = tryReadMsg(in)
+    while (m.isEmpty) m = tryReadMsg(in)
+    m.get
   }
 
   private def cstr(s: String): Array[Byte] = {
@@ -357,9 +396,12 @@ object PgTailer {
     if (cfg.createSlot)
       simpleQuery(in, out,
         s"CREATE_REPLICATION_SLOT ${cfg.slot} LOGICAL pgoutput")
-    // resume from the committed watermark when one exists; else the
-    // server's current position (fresh slot, nothing committed yet)
-    val startLsn = committedWatermark(cfg).getOrElse(xlogpos)
+    // resume from the committed watermark when one exists; else LSN 0/0,
+    // which the server resolves to the SLOT's confirmed_flush position.
+    // Never the current xlogpos: on a reconnect with nothing committed
+    // downstream yet, starting at "now" would silently skip every
+    // transaction streamed (but not yet applied) before the drop
+    val startLsn = committedWatermark(cfg).getOrElse(0L)
     sendQuery(out,
       s"START_REPLICATION SLOT ${cfg.slot} LOGICAL ${fmtLsn(startLsn)} (${pluginArgs(cfg)})")
     var started = false
@@ -384,9 +426,7 @@ object PgTailer {
           status()
           nextStatusAt = System.nanoTime() + cfg.statusIntervalMs * 1000000L
         }
-        val msg =
-          try Some(readMsg(in))
-          catch { case _: SocketTimeoutException => None } // idle: loop→status
+        val msg = tryReadMsg(in) // None = idle at a message boundary
         msg.foreach {
           case Msg('d', body) => body(0).toChar match {
             case 'w' => // XLogData: walStart(8) walEnd(8) serverTime(8) payload
@@ -442,9 +482,15 @@ object PgTailer {
       protoVersion = m.getOrElse("proto", "2").toInt,
       chunkMaxBytes = m.getOrElse("chunk-bytes", (1 << 20).toString).toInt,
       statusIntervalMs = m.getOrElse("status-interval-ms", "1000").toInt)
+    // ONE shutdown hook closing whatever socket is live — registering a
+    // hook per reconnect iteration would leak an unstarted Thread per
+    // 2-second retry, unbounded while the server is down
+    val liveSocket = new java.util.concurrent.atomic.AtomicReference[Socket]()
+    sys.addShutdownHook(
+      Option(liveSocket.get()).foreach(s => try s.close() catch { case _: Exception => () }))
     while (true) {
       val socket = new Socket(m("host"), m("port").toInt)
-      sys.addShutdownHook(try socket.close() catch { case _: Exception => () })
+      liveSocket.set(socket)
       try {
         val r = run(socket, cfg)
         System.err.println(s"[pgtailer] session ended: ${r.chunksRolled} " +

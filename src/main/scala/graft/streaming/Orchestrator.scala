@@ -62,7 +62,11 @@ object Orchestrator {
               org.apache.spark.sql.streaming.Trigger.AvailableNow()): Seq[Handle] = {
     ProgressLog.attach(spark)
     dbMap.databases.flatMap { db =>
-      val routesInfo = MapConfig.mappings(db).map { m =>
+      // CEL filter/set translation is type-dependent: hint column kinds
+      // from the target spec's schema (the source-row env for clone/append)
+      val routesInfo = MapConfig.mappings(db, (_, tgt) =>
+        specs.get(tgt).map(s => MapConfig.kindsOf(s.schema))
+          .getOrElse(Map.empty)).map { m =>
         val root = s"$targetsRoot/${m.target}"
         val spec0 = specs.getOrElse(m.target, throw new IllegalArgumentException(
           s"no TableSpec for target '${m.target}' (database '${db.name}')"))
@@ -334,7 +338,11 @@ object Orchestrator {
         require(f == "parquet" || f == "pgoutput",
           s"unknown event-log format '$f' (url sid '${u.sid}')")
       }
-      MapConfig.mappings(db).foreach { m =>
+      // same kind hints as the live route build, so a CEL expression that
+      // only translates under hints validates the same way it will boot
+      MapConfig.mappings(db, (_, tgt) =>
+        specs.get(tgt).map(s => MapConfig.kindsOf(s.schema))
+          .getOrElse(Map.empty)).foreach { m =>
         val spec = specs.getOrElse(m.target, throw new IllegalArgumentException(
           s"no TableSpec for target '${m.target}' (database '${db.name}')"))
         if (db.tables.get(m.sourceTable).flatMap(_.signatures).contains(true)) {

@@ -222,7 +222,63 @@ class CelSpec extends AnyFunSuite {
     intercept[Cel.CelError](Cel.translate("x > 1", Map("x" -> "jsonb")))
   }
 
+  // ---- null semantics (SQL `= NULL` is always NULL — must be IS NULL)
+
+  test("null comparisons translate to IS [NOT] NULL, not = NULL") {
+    assert(eval("props == null") == true) // props is a NULL column
+    assert(eval("props != null") == false)
+    assert(eval("null == props") == true)
+    assert(eval("s == null") == false)
+    assert(eval("s != null") == true)
+    assert(eval("null == null") == true)
+    assert(eval("null != null") == false)
+    // the round-trip that silently dropped every row before the fix:
+    // a keep-undeleted filter over a NULL column must be TRUE, not NULL
+    assert(eval("props == null || s == \"x\"") == true)
+  }
+
+  test("regex group counting ignores '(' inside character classes") {
+    // zero capture groups -> regexp_extract group 0 (whole match), where
+    // counting the class-literal '(' produced group 1 and a runtime error
+    assert(eval("regex.extract(\"a(b\", \"a[(]b\")") == "a(b")
+    // trailing-position '(' + a real group still counts
+    assert(eval("regex.extract(\"xab\", \"x(ab)\")") == "ab")
+  }
+
+  test("lists.range clamps a runtime-negative length to empty") {
+    assert(eval("lists.range(n - 44)") == Seq.empty) // 42 - 44 = -2
+    assert(eval("lists.range(3)") == Seq(0L, 1L, 2L))
+  }
+
   // ---- map-file integration (the production path)
+
+  test("MapConfig kind hints drive type-dependent translation") {
+    import org.apache.spark.sql.types._
+    val db = MapConfig.parse(
+      """{"databases":[{"name":"d","urls":[{"url":"u","sid":"s0"}],
+        |"tables":{"t":{"target":"t2","lang":"cel",
+        |"filter":"value / 2 == 5"}}}]}""".stripMargin)
+      .databases.head
+    val schema = StructType(Seq(StructField("value", LongType)))
+    // hinted: CEL int division truncates -> SQL `div` (11 div 2 == 5 TRUE)
+    val hinted = MapConfig.mappings(db,
+      (_, tgt) => { assert(tgt == "t2"); MapConfig.kindsOf(schema) }).head
+    assert(hinted.filter.get.contains("div"), hinted.filter.get)
+    // unhinted falls to Unknown: plain `/` (double division) — the exact
+    // silent row-flip the hints exist to prevent
+    val unhinted = MapConfig.mappings(db).head
+    assert(!unhinted.filter.get.contains("div"))
+    // kindsOf maps the full Spark type surface
+    val kinds = MapConfig.kindsOf(StructType(Seq(
+      StructField("s", StringType), StructField("b", BinaryType),
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("f", DoubleType), StructField("o", BooleanType),
+      StructField("t", TimestampType), StructField("a", ArrayType(LongType)),
+      StructField("m", MapType(StringType, StringType)))))
+    assert(kinds == Map("s" -> "string", "b" -> "bytes", "i" -> "int",
+      "l" -> "int", "f" -> "double", "o" -> "bool", "t" -> "timestamp",
+      "a" -> "list", "m" -> "map"))
+  }
 
   test("MapConfig lang=cel translates filter and set at compile time") {
     val db = MapConfig.parse(

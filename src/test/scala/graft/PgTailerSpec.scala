@@ -182,12 +182,14 @@ class PgTailerSpec extends AnyFunSuite {
       be.authOkReady()
       be.identifySystem("0/10")
       be.acceptStartReplication()
-      // no watermark yet -> starts at the identified position, v2 args
+      // no watermark yet -> starts at 0/0 (the server resolves it to the
+      // slot's confirmed_flush; starting at the identified xlogpos would
+      // skip WAL streamed-but-uncommitted before a reconnect), v2 args
       assert(be.startReplicationSql.contains("SLOT graft_slot"))
-      assert(be.startReplicationSql.contains("LOGICAL 0/10"))
+      assert(be.startReplicationSql.contains("LOGICAL 0/0"))
       assert(be.startReplicationSql.contains("proto_version '2'"))
       assert(be.startReplicationSql.contains("streaming 'true'"))
-      be.awaitAck(0x10L) // initial status: nothing committed -> start LSN
+      be.awaitAck(0L) // initial status: nothing committed -> 0 = "no info"
       // txn1 then txn2, each a complete Begin..Commit run
       Seq(rel, Wire.begin(lsn1, 7), ins(1, "a"), ins(2, "b"), Wire.commit(lsn1))
         .foreach(be.xlog(lsn1, _))
@@ -202,7 +204,7 @@ class PgTailerSpec extends AnyFunSuite {
     } { port => runTailer(port, cfg(port, out, ack)) }
 
     assert(result.identifiedLsn == 0x10L)
-    assert(result.startLsn == 0x10L)
+    assert(result.startLsn == 0L) // never the xlogpos: committed-or-zero
     assert(result.chunksRolled == 2) // chunkMaxBytes=1: roll per safe boundary
     assert(result.lastAckedLsn == lsn1) // NOT lsn2, the read position
     val chunks = Files.list(out).sorted().toArray.map(_.asInstanceOf[Path])
@@ -223,7 +225,7 @@ class PgTailerSpec extends AnyFunSuite {
     withServer { be =>
       be.readStartup(); be.authOkReady(); be.identifySystem("0/10")
       be.acceptStartReplication()
-      be.awaitAck(0x10L)
+      be.awaitAck(0L) // nothing committed downstream yet
       // stream block opens txn 7; an interleaved COMMITTED txn lands while
       // 7 is in progress; a second stream block completes 7; txn 8 streams
       // then aborts whole. chunkMaxBytes=1 wants to roll constantly — the
@@ -237,7 +239,7 @@ class PgTailerSpec extends AnyFunSuite {
         Wire.streamStop(), Wire.streamAbort(8, 8))
         .foreach(be.xlog(midLsn, _))
       be.keepalive(commitLsn, replyRequested = true)
-      be.awaitAck(0x10L)
+      be.awaitAck(0L) // still nothing committed downstream: ack stays 0
       be.close()
     } { port =>
       val r = runTailer(port, cfg(port, out, ack))
@@ -264,7 +266,7 @@ class PgTailerSpec extends AnyFunSuite {
     withServer { be =>
       be.readStartup(); be.authOkReady(); be.identifySystem("0/10")
       be.acceptStartReplication()
-      be.awaitAck(0x10L)
+      be.awaitAck(0L) // nothing committed downstream yet
       Seq(rel, Wire.begin(lsn1, 7), ins(1, "a"), Wire.commit(lsn1),
         Wire.begin(lsn2, 8), ins(2, "torn")) // no commit: crash window
         .foreach(be.xlog(lsn1, _))
