@@ -13,7 +13,7 @@ object Plans {
     "dedup_incremental", "dedup_clusters", "dedup_clusters_incremental",
     "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk",
     "pipeline_pack_sequences", "pipeline_decontaminate",
-    "pipeline_mix_sample")
+    "pipeline_mix_sample", "text_repetition", "pipeline_boilerplate")
 
   // knnBrute deliberately broadcasts the 5-row query side into a non-equi
   // join; annIvf's probe selection cross-joins queries with the BROADCAST
@@ -37,7 +37,9 @@ object Plans {
     // eval grams must broadcast against the corpus gram stream
     "pipeline_decontaminate" -> Seq("BroadcastHashJoin [gram"),
     // the tiny per-source totals must broadcast back onto the corpus scan
-    "pipeline_mix_sample" -> Seq("BroadcastHashJoin [source"))
+    "pipeline_mix_sample" -> Seq("BroadcastHashJoin [source"),
+    // the frequent-gram set must broadcast back onto the gram stream
+    "pipeline_boilerplate" -> Seq("BroadcastHashJoin [g"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

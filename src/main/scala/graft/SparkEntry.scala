@@ -72,6 +72,8 @@ object SparkEntry {
     "pipeline_pack_sequences" -> TextPipeline.packSequences,
     "pipeline_decontaminate" -> TextPipeline.decontaminate,
     "pipeline_mix_sample" -> TextPipeline.mixSample,
+    "text_repetition" -> TextPipeline.repetition,
+    "pipeline_boilerplate" -> TextPipeline.boilerplate,
     "mm_binary_meta" -> TextPipeline.binaryMeta,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMeta,
     "mm_frame_sample" -> operators.Multimodal.frameSample,
@@ -136,6 +138,8 @@ object SparkEntry {
     "pipeline_pack_sequences" -> TextPipeline.packSequencesOracle,
     "pipeline_decontaminate" -> TextPipeline.decontaminateOracle,
     "pipeline_mix_sample" -> TextPipeline.mixSampleOracle,
+    "text_repetition" -> TextPipeline.repetitionOracle,
+    "pipeline_boilerplate" -> TextPipeline.boilerplateOracle,
     "mm_binary_meta" -> TextPipeline.binaryMetaOracle,
     "mm_decode_meta" -> operators.Multimodal.qDecodeMetaOracle,
     "mm_frame_sample" -> operators.Multimodal.frameSampleOracle,

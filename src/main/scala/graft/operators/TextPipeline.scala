@@ -1213,4 +1213,84 @@ u AS (SELECT t.doc_id, t.source, t.tok, s.ts, m.tmin,
   FROM t JOIN s USING (source) CROSS JOIN m)
 SELECT doc_id, source, tok, u20 FROM u
 WHERE u20 * ts < tmin * ${1L << MixBits} ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // X18: intra-document repetition scoring — the standard quality signal
+  // (heavily repetitive docs are low-value training data): per doc, the
+  // duplicated share of its word-3-grams and the hottest gram's count.
+  // Shape: gram explode -> (doc_id, gram) count -> per-doc aggregate, all
+  // keyed by doc_id (map-side combined; no cross-doc state). Docs with
+  // < 3 words have no grams and are absent, like the dedup family.
+  // ---------------------------------------------------------------------
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(bound(words)(shingles)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_gram_cnt"))
+      .withColumn("dup_grams", col("n_grams") - col("n_distinct"))
+      .withColumn("rep_frac_e3", expr("dup_grams * 1000L div n_grams"))
+      .orderBy("doc_id")
+
+  val repetitionOracle: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w WHERE len(ws) >= 3),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+  CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_gram_cnt
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n_grams, n_distinct, top_gram_cnt,
+  n_grams - n_distinct AS dup_grams,
+  (n_grams - n_distinct) * 1000 // n_grams AS rep_frac_e3
+FROM a ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // X19: boilerplate detection — grams shared across many DOCUMENTS
+  // (headers, footers, licence blocks) are boilerplate; per doc, the
+  // share of its distinct grams that are corpus-frequent. Two passes over
+  // the gram stream: one aggregates document frequency (the inherent
+  // cost, like the n-gram dedup's df computation), producing a SMALL
+  // frequent-gram set that broadcasts back onto the second pass — no
+  // corpus-side shuffle except the final per-doc aggregate.
+  // ---------------------------------------------------------------------
+
+  /** Document-frequency threshold: a gram in >= this many distinct docs
+    * counts as boilerplate. At 100 TB raise it (or cap the broadcast set
+    * like DfCap) so the frequent-gram set stays broadcast-sized. */
+  val BoilerDf: Long =
+    sys.env.get("GRAFT_BOILER_DF").map(_.toLong).getOrElse(3L)
+
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    def grams = docs(spark, dir)
+      .select(col("doc_id"), explode(bound(words)(shingles)).as("g"))
+      .distinct() // per-doc distinct: df counts DOCUMENTS, not occurrences
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("g"), lit(1L).as("hot"))
+    grams.join(broadcast(hot), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hot"), lit(0L))).as("boiler_grams"))
+      .withColumn("boiler_frac_e3", expr("boiler_grams * 1000L div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateOracle: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w WHERE len(ws) >= 3),
+h AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY g) WHERE df >= $BoilerDf)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(h.g) AS BIGINT) AS boiler_grams,
+  CAST(count(h.g) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS boiler_frac_e3
+FROM g LEFT JOIN h ON h.g = g.g
+GROUP BY g.doc_id ORDER BY g.doc_id"""
 }

@@ -247,6 +247,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq == got.map(_._1).toSeq)
   }
 
+  test("repetition scoring: duplicated 3-gram share and hottest gram") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("rep")
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams: 'a b c' x3, 'b c a' x2, 'c a b' x2 -> 3 distinct
+      (2L, "u v w x y"), //          3 grams, all distinct
+      (3L, "one two")) //            < 3 words: no grams, absent
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextPipeline.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == (7L, 3L, 3L, 4L, 571L), s"doc1: $got") // 4*1000 div 7
+    assert(got(2L) == (3L, 3L, 1L, 0L, 0L), s"doc2: $got")
+    assert(!got.contains(3L))
+  }
+
+  test("boilerplate: grams shared by >= BoilerDf docs flag their share") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("boiler")
+    val footer = "all rights reserved" // one shared 3-gram
+    val docs = (Seq(
+      (1L, s"alpha beta gamma $footer"),
+      (2L, s"delta epsilon zeta $footer"),
+      (3L, s"eta theta iota $footer"),
+      (4L, "kappa lambda mu nu")) // no boilerplate
+      ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    // each footer doc has 4 grams ('x y z', 'y z all', 'z all rights',
+    // 'all rights reserved'): only the pure footer gram reaches df=3
+    val got = TextPipeline.boilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == (4L, 1L, 250L), s"doc $id: $got")
+    }
+    assert(got(4L) == (2L, 0L, 0L), s"doc 4: $got")
+  }
+
   test("planted duplicates: exact + simhash + ngram detect them") {
     val dir = SparkTestBase.tmpDir("plant")
     import spark.implicits._
