@@ -1,6 +1,7 @@
 package graft.config
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import graft.model.{TableMapping, TableMode}
 
@@ -13,7 +14,11 @@ import java.nio.file.{Files, Paths}
   * carrying replication type, destination target, optional row filter,
   * optional column-transform map, and optional physical-partition regex.
   *
-  * Format is JSON (Jackson ships on the Spark classpath; zero extra deps):
+  * Two accepted shapes, auto-detected from the top-level node (extension
+  * picks the syntax only: `.yaml`/`.yml` parse as YAML, anything else as
+  * JSON — both via Jackson, which ships on the Spark classpath):
+  *
+  * Native (top-level object):
   * {{{
   * { "databases": [ {
   *     "name": "db1",
@@ -24,6 +29,27 @@ import java.nio.file.{Files, Paths}
   *              "set": {"c": "upper(c)"},
   *              "partitions_regex": "t1_[0-9]+"}
   *     } } ] }
+  * }}}
+  *
+  * Reference (top-level LIST — the exact schema of the reference's
+  * `map.yaml`, `streamer/map.go:17-43`, and of its SQLite config-DB JSON
+  * export, `map.go:45-91`): `database:` instead of `name:`, the same
+  * urls/tables fields, and since a kuvasz map's filter/set expressions
+  * are CEL, tables in THIS shape default to `lang: cel` (override with an
+  * explicit `lang: sql`). The config-DB export's `db_id`/`url_id`/`tbl_id`
+  * and the declared-but-unread `insert` field (`map.go:38` — no reference
+  * code path consumes it) are accepted and ignored, with a warning for
+  * `insert`. A kuvasz `map.yaml` or a `ReadMapDatabase` dump therefore
+  * ports verbatim:
+  * {{{
+  * - database: db1
+  *   urls:
+  *     - url: wal/db1
+  *       sid: s0
+  *   tables:
+  *     public.t1:
+  *       type: clone
+  *       filter: value > 10
   * }}}
   * Defaults mirror `map.go:93-141`: type=clone, target=source name.
   */
@@ -57,12 +83,91 @@ object MapConfig {
                                   tables: Map[String, TableEntry])
   final case class DbMap(databases: Seq[SourceDatabase])
 
+  // ---- reference-shape mirror (map.go:17-43 + the config-DB export ids)
+  final case class RefUrl(url: String, sid: String,
+                          format: Option[String] = None,
+                          url_id: Option[Long] = None)
+  final case class RefTable(
+      `type`: Option[String] = None,
+      target: Option[String] = None,
+      filter: Option[String] = None,
+      set: Option[Map[String, String]] = None,
+      insert: Option[String] = None,
+      partitions_regex: Option[String] = None,
+      signatures: Option[Boolean] = None,
+      lang: Option[String] = None,
+      tbl_id: Option[Long] = None)
+  final case class RefDb(database: String, urls: Seq[RefUrl],
+                         tables: Option[Map[String, RefTable]],
+                         db_id: Option[Long] = None)
+
+  // NON_ABSENT: None fields stay OUT of rendered files (a `type: null`
+  // line would read back fine here but trip the reference's own loader)
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+    .setSerializationInclusion(
+      com.fasterxml.jackson.annotation.JsonInclude.Include.NON_ABSENT)
+  private val yamlMapper =
+    new ObjectMapper(new YAMLFactory()).registerModule(DefaultScalaModule)
+      .setSerializationInclusion(
+        com.fasterxml.jackson.annotation.JsonInclude.Include.NON_ABSENT)
 
-  def parse(json: String): DbMap = mapper.readValue(json, classOf[DbMap])
+  def parse(json: String): DbMap = parseWith(mapper, json)
 
-  def load(path: String): DbMap =
-    parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+  private def parseWith(m: ObjectMapper, text: String): DbMap = {
+    // shape detection: a top-level array is the reference schema (and the
+    // reference's filter/set are CEL expressions — default lang follows)
+    val root = m.readTree(text)
+    require(root != null && !root.isMissingNode && !root.isNull,
+      "empty map config")
+    if (root.isArray) {
+      val dbs = m.convertValue(root,
+        classOf[Array[RefDb]]).toSeq.map { r =>
+        SourceDatabase(
+          name = r.database,
+          urls = r.urls.map(u => UrlEntry(u.url, u.sid, u.format)),
+          tables = r.tables.getOrElse(Map.empty).map { case (src, t) =>
+            if (t.insert.isDefined)
+              System.err.println(s"[map] WARNING: table '$src' sets " +
+                "'insert', which no reference code path reads " +
+                "(map.go:38) — accepted and ignored")
+            src -> TableEntry(t.`type`, t.target, t.filter, t.set,
+              t.partitions_regex, t.signatures,
+              lang = t.lang.orElse(Some("cel")))
+          })
+      }
+      DbMap(dbs)
+    } else m.treeToValue(root, classOf[DbMap])
+  }
+
+  private def isYaml(path: String): Boolean =
+    path.endsWith(".yaml") || path.endsWith(".yml")
+
+  def load(path: String): DbMap = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    if (isYaml(path)) parseWith(yamlMapper, text) else parse(text)
+  }
+
+  /** Serialize a map for write-back to `path`, format-preserving: a
+    * `.yaml`/`.yml` store renders in the REFERENCE shape (so an admin-API
+    * edit of a ported kuvasz map keeps the file loadable by the reference
+    * itself), everything else as pretty JSON in the native shape. Tables
+    * already carrying an explicit `lang` keep it; YAML tables WITHOUT one
+    * were defaulted to CEL at load, so the round-trip pins `lang` only
+    * when the in-memory entry says so. */
+  def render(m: DbMap, path: String): String =
+    if (isYaml(path)) {
+      val refs = m.databases.map { d =>
+        RefDb(d.name, d.urls.map(u => RefUrl(u.url, u.sid, u.format)),
+          Some(d.tables.map { case (src, t) =>
+            // a load-defaulted lang=cel round-trips to an EXPLICIT key —
+            // harmless for the reference (yaml.v2 ignores unknown keys)
+            // and lossless for us
+            src -> RefTable(t.`type`, t.target, t.filter, t.set, None,
+              t.partitions_regex, t.signatures, t.lang)
+          }))
+      }
+      yamlMapper.writeValueAsString(refs)
+    } else mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
 
   /** The companion near-dup signatures table NAME for a mapping, when its
     * table entry opts in (`"signatures": true`) — the single authority for

@@ -127,13 +127,28 @@ object AdminHttp {
   private def readMap(mapPath: Path): MapConfig.DbMap =
     MapConfig.load(mapPath.toString)
 
+  /** The store's extension, kept on the temp file so validation parses it
+    * with the same syntax the live loader will. */
+  private def suffix(p: Path): String = {
+    val n = p.getFileName.toString
+    val i = n.lastIndexOf('.')
+    if (i >= 0) n.substring(i) else ""
+  }
+
   private def writeMap(mapPath: Path, m: MapConfig.DbMap): Unit = {
-    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
-    MapConfig.parse(json) // validate the round-trip before it becomes live
-    val tmp = mapPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    Files.move(tmp, mapPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // format-preserving: a .yaml store re-renders in the reference's own
+    // map.yaml shape, JSON in the native shape (MapConfig.render)
+    val text = MapConfig.render(m, mapPath.toString)
+    val tmp = mapPath.resolveSibling(
+      s".tmp-${java.util.UUID.randomUUID()}${suffix(mapPath)}")
+    Files.writeString(tmp, text)
+    try {
+      // validate the round-trip through the REAL loader before it becomes
+      // live (same syntax + shape detection the orchestrator reload uses)
+      MapConfig.load(tmp.toString)
+      Files.move(tmp, mapPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** @param spark       session used to create clone targets

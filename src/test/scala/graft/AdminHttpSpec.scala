@@ -308,6 +308,32 @@ class AdminHttpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("yaml map store: admin edits re-render in the reference shape") {
+    val dir = SparkTestBase.tmpDir("adminyaml")
+    val mapPath = Paths.get(s"$dir/map.yaml")
+    Files.writeString(mapPath,
+      """- database: app
+        |  urls:
+        |    - url: wal/seg-*
+        |      sid: s0
+        |  tables:
+        |    transcripts:
+        |      type: clone
+        |""".stripMargin)
+    val srv = AdminHttp.start(spark, mapPath, s"$dir/targets")
+    try {
+      val p = srv.port
+      assert(req(p, "GET", "/api/map").body().contains("transcripts"))
+      assert(req(p, "POST", "/api/db", """{"name":"aux"}""").statusCode() == 201)
+      val text = Files.readString(mapPath)
+      // still the reference map.yaml shape (loadable by the reference's
+      // own yaml.v2 loader): top-level list, database key, no JSON braces
+      assert(text.contains("database:") && !text.trim.startsWith("{"), text)
+      assert(MapConfig.load(mapPath.toString).databases.map(_.name) ==
+        Seq("app", "aux"))
+    } finally srv.stop()
+  }
+
   test("JWT auth: HS256 only, role enforcement, expiry") {
     val mapPath = freshMap("adminjwt")
     val key = "graft-test-secret".getBytes("UTF-8")
