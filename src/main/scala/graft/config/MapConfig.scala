@@ -122,6 +122,8 @@ object MapConfig {
     if (root.isArray) {
       val dbs = m.convertValue(root,
         classOf[Array[RefDb]]).toSeq.map { r =>
+        require(r.database != null && r.database.nonEmpty,
+          "reference-shape map entry missing 'database'")
         SourceDatabase(
           name = r.database,
           urls = r.urls.map(u => UrlEntry(u.url, u.sid, u.format)),
@@ -159,11 +161,16 @@ object MapConfig {
       val refs = m.databases.map { d =>
         RefDb(d.name, d.urls.map(u => RefUrl(u.url, u.sid, u.format)),
           Some(d.tables.map { case (src, t) =>
-            // a load-defaulted lang=cel round-trips to an EXPLICIT key —
-            // harmless for the reference (yaml.v2 ignores unknown keys)
-            // and lossless for us
+            // lang is ALWAYS pinned explicitly in the reference shape:
+            // in-memory None means SQL (the native default), but a
+            // reference-shape load defaults to cel — rendering an
+            // admin-created SQL entry without the key would silently
+            // flip its filter/set to CEL on the next reload. Explicit
+            // keys are harmless to the reference (yaml.v2 ignores
+            // unknown fields) and lossless for us.
             src -> RefTable(t.`type`, t.target, t.filter, t.set, None,
-              t.partitions_regex, t.signatures, t.lang)
+              t.partitions_regex, t.signatures,
+              lang = t.lang.orElse(Some("sql")))
           }))
       }
       yamlMapper.writeValueAsString(refs)

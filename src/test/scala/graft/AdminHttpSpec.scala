@@ -325,12 +325,21 @@ class AdminHttpSpec extends AnyFunSuite {
       val p = srv.port
       assert(req(p, "GET", "/api/map").body().contains("transcripts"))
       assert(req(p, "POST", "/api/db", """{"name":"aux"}""").statusCode() == 201)
+      // an admin-created entry carries a SPARK SQL filter (native
+      // semantics); the yaml render must pin lang so the reload does not
+      // re-interpret it as CEL (where e.g. int '/' would translate to div)
+      assert(req(p, "POST", "/api/db/app/tbl/events",
+        """{"type":"append","filter":"value > 1"}""").statusCode() == 201)
       val text = Files.readString(mapPath)
       // still the reference map.yaml shape (loadable by the reference's
       // own yaml.v2 loader): top-level list, database key, no JSON braces
       assert(text.contains("database:") && !text.trim.startsWith("{"), text)
-      assert(MapConfig.load(mapPath.toString).databases.map(_.name) ==
-        Seq("app", "aux"))
+      val reloaded = MapConfig.load(mapPath.toString)
+      assert(reloaded.databases.map(_.name) == Seq("app", "aux"))
+      val ev = reloaded.databases.find(_.name == "app").get.tables("events")
+      assert(ev.lang.contains("sql"), ev)
+      assert(MapConfig.mappings(reloaded.databases.find(_.name == "app").get)
+        .find(_.sourceTable == "events").get.filter.contains("value > 1"))
     } finally srv.stop()
   }
 
