@@ -11,6 +11,7 @@ object Plans {
   private val DefaultQueries = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_incremental", "dedup_clusters", "dedup_clusters_incremental",
+    "dedup_clusters_deletes",
     "embed_cosine_dedup", "embed_ann_lsh", "embed_ann_ivf", "embed_knn_topk",
     "pipeline_pack_sequences", "pipeline_decontaminate",
     "pipeline_mix_sample", "text_repetition", "pipeline_boilerplate")
@@ -30,6 +31,9 @@ object Plans {
     // map against the big label table (a SortMergeJoin here would shuffle
     // the whole persisted label table per delta batch)
     "dedup_clusters_incremental" -> Seq("BroadcastHashJoin [cluster_id"),
+    // untouched clusters must pass through via a broadcast anti-join on
+    // the (tiny) touched-cluster set — never a shuffle of the label table
+    "dedup_clusters_deletes" -> Seq("BroadcastHashJoin [cluster_id"),
     // packing's block offsets must BROADCAST back (a sort-merge join here
     // would shuffle the corpus a third time), and the corpus-side window
     // must be partitioned by blk (a global-order window = one task)

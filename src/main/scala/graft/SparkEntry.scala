@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_simhash" -> TextPipeline.dedupSimhash,
     "dedup_clusters" -> TextPipeline.dedupClusters,
     "dedup_clusters_incremental" -> TextPipeline.dedupClustersIncremental,
+    "dedup_clusters_deletes" -> TextPipeline.dedupClustersDeletes,
     "dedup_incremental" -> TextPipeline.dedupIncremental,
     "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhash,
     "text_lang_id" -> TextPipeline.langId,
@@ -126,6 +127,7 @@ object SparkEntry {
     "dedup_simhash" -> TextPipeline.dedupSimhashOracle,
     "dedup_clusters" -> TextPipeline.dedupClustersOracle,
     "dedup_clusters_incremental" -> TextPipeline.dedupClustersIncrementalOracle,
+    "dedup_clusters_deletes" -> TextPipeline.dedupClustersDeletesOracle,
     "dedup_incremental" -> TextPipeline.dedupIncrementalOracle,
     "dedup_incremental_simhash" -> TextPipeline.dedupIncrementalSimhashOracle,
     "text_lang_id" -> TextPipeline.langIdOracle,

@@ -542,9 +542,12 @@ ORDER BY corpus_id, new_id"""
     * total); singletons (docs in no pair) are their own canonical with
     * size 1 via the coalesces. */
   private def clusterFrame(spark: SparkSession, dir: String,
-                           lbl: DataFrame): DataFrame = {
+                           lbl: DataFrame): DataFrame =
+    clusterFrame(docs(spark, dir), lbl)
+
+  private def clusterFrame(base: DataFrame, lbl: DataFrame): DataFrame = {
     val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    docs(spark, dir).select(col("doc_id"))
+    base.select(col("doc_id"))
       .join(lbl, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -673,6 +676,95 @@ ORDER BY l.doc_id"""
       relabeled.unionAll(fresh).write.parquet(s"$art/labels.parquet")
       spark.read.parquet(s"$art/labels.parquet")
     } finally newPairs.unpersist(blocking = false)
+  }
+
+  /** Delete-aware incremental clustering — the other half of X14b's
+    * steady state: a CDC DELETE removes a doc's signature row
+    * (SignatureStore net-delete), and unlike new edges, a lost vertex can
+    * SPLIT its component. But never across clusters — the maintained
+    * invariant keeps every agreement pair INSIDE one cluster — so only
+    * the clusters that contained a deleted doc recompute: their remaining
+    * members' pairs re-derive from the signature lake and a CC fixpoint
+    * runs over that subgraph alone. Untouched clusters pass through
+    * (lake-backed, they would not be rewritten at all); members left
+    * pairless drop OUT of the label table (absent docs read as
+    * singletons). Cost: O(members of touched clusters + their pairs) —
+    * the delete-side mirror of [[clustersAgainstLabels]]'s merge bound. */
+  def clustersAfterDeletes(spark: SparkSession, labels: DataFrame,
+                           sigs: DataFrame, deletedIn: DataFrame): DataFrame = {
+    // batch-bounded (the micro-batch's delete set) — broadcast both it and
+    // everything derived from it so the corpus-sized label/signature
+    // tables are only ever scanned, never shuffled
+    val deleted = deletedIn.select(col("doc_id")).distinct()
+    val touched = labels.join(broadcast(deleted), Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    // remaining members of touched clusters: bounded by those clusters'
+    // sizes (the same bound the merge path's rewrite set has). A deleted
+    // singleton has no label row and correctly touches nothing.
+    val members = labels.join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .join(broadcast(deleted), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    // the member signatures feed both sides of the agreement join (bands +
+    // verify: 4 subtree references) — materialize the tiny frame once
+    val memberSigs = sigs.join(broadcast(members), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sub = propagateLabels(spark, signatureAgreementPairs(
+        memberSigs, memberSigs, "dedup_clusters_delete"))
+      labels.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionAll(sub.select(col("doc_id"), col("cluster_id")))
+    } finally memberSigs.unpersist(blocking = false)
+  }
+
+  /** Driver-contract entry for the delete fold: the whole corpus plays
+    * ingested state (signature lake + labels computed once from it), then
+    * every doc with `doc_id % 7 == 0` is deleted in one batch. Oracle =
+    * recursive-CTE closure over the signature-agreement pairs of the
+    * REMAINING docs only — the invariant the fold must restore, stated
+    * with no knowledge of which clusters were touched. */
+  def dedupClustersDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sig = ingestCorpusSignatures(spark, d, simhash = false)
+    val sigs = sig.read().select(col("doc_id").cast("long").as("doc_id") +:
+      (0 until MinhashK).map(k => col(s"h$k")): _*)
+    val labels0 = propagateLabels(spark,
+      signatureAgreementPairs(sigs, sigs, "dedup_clusters_del_base"))
+    val deleted = d.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val folded = clustersAfterDeletes(spark, labels0, sigs, deleted)
+    clusterFrame(d.filter(col("doc_id") % 7 =!= 0), folded)
+  }
+
+  val dedupClustersDeletesOracle: String = {
+    val sigCols = (0 until MinhashK)
+      .map(k => s"min(md5('$k|' || s)) AS h$k").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS bk FROM mh")
+      .mkString("\n  UNION ALL ")
+    val matchSum = (0 until MinhashK)
+      .map(k => s"CASE WHEN ma.h$k = mb.h$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE $shingleSetSql,
+mh AS (SELECT doc_id, $sigCols FROM sh WHERE doc_id % 7 <> 0 GROUP BY doc_id),
+bands AS ($bandRows),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         JOIN bands y ON x.band = y.band AND x.bk = y.bk
+                      AND x.doc_id < y.doc_id),
+p AS (SELECT c.a, c.b FROM cand c
+      JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b
+      WHERE $matchSum >= $IncMinMatch),
+e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+reach(x, y) AS (SELECT a AS x, b AS y FROM e
+                UNION
+                SELECT r.x, e2.b AS y FROM reach r JOIN e e2 ON e2.a = r.y),
+lbl AS (SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+        WHERE d.doc_id % 7 <> 0
+        GROUP BY d.doc_id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lbl l JOIN sz s USING (cluster_id)
+ORDER BY l.doc_id"""
   }
 
   /** Driver-contract entry: the first 4/5 of documents plays the ingested

@@ -287,6 +287,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == (2L, 0L, 0L), s"doc 4: $got")
   }
 
+  test("delete fold: bridge removal splits, shrink keeps, untouched pass") {
+    import spark.implicits._
+    import graft.operators.TextPipeline.MinhashK
+    // signatures built so b bridges a~c: b agrees with a on h0..h8 (9 =
+    // IncMinMatch) and with c on h3..h11 (9), while a~c share only h3..h8
+    // (6 < 9) — deleting b MUST split {a,b,c} into singletons a, c
+    def sig(id: Long, h: Int => String) =
+      (Seq[Any](id) ++ (0 until MinhashK).map(h)).toArray
+    val rows = Seq(
+      sig(1L, i => s"A$i"), //                                  a
+      sig(2L, i => if (i <= 8) s"A$i" else s"C$i"), //          b (bridge)
+      sig(3L, i => if (i >= 3 && i <= 8) s"A$i" else s"C$i"), // c
+      sig(10L, i => s"D$i"), sig(11L, i => s"D$i"), //          d~e untouched
+      sig(20L, i => s"F$i"), //                                 f singleton
+      sig(30L, i => s"P$i"), sig(31L, i => s"P$i"), sig(32L, i => s"P$i"))
+    val sigs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_: _*))),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType) +:
+        (0 until MinhashK).map(k => org.apache.spark.sql.types.StructField(
+          s"h$k", org.apache.spark.sql.types.StringType))))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (30L, 30L), (31L, 30L), (32L, 30L)).toDF("doc_id", "cluster_id")
+    // delete the bridge b, the singleton f (no label row), and r from the
+    // all-identical {p,q,r} (shrinks without splitting)
+    val deleted = Seq(2L, 20L, 32L).toDF("doc_id")
+    val got = graft.operators.TextPipeline
+      .clustersAfterDeletes(spark, labels, sigs, deleted)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a and c fall out (pairless after the split -> singletons by absence)
+    assert(got == Map(10L -> 10L, 11L -> 10L, 30L -> 30L, 31L -> 30L), got)
+  }
+
   test("planted duplicates: exact + simhash + ngram detect them") {
     val dir = SparkTestBase.tmpDir("plant")
     import spark.implicits._
