@@ -113,13 +113,14 @@ object Main {
 
     // targets re-resolved from the CURRENT map (live-reloadable; a table
     // added later must appear on /metrics and in maintenance), including
-    // the companion signature tables of signatures-enabled mappings
-    // (MapConfig.signatureTarget — the same authority the orchestrator's
-    // sink wiring uses)
+    // the companion signature AND label tables of opted-in mappings
+    // (MapConfig.signatureTarget / labelTarget — the same authorities the
+    // orchestrator's sink wiring uses)
     def tables(): Map[String, String] =
       try MapConfig.load(cfg.mapFile).databases.flatMap { db =>
         MapConfig.mappings(db).flatMap { m =>
-          m.target +: MapConfig.signatureTarget(db, m).toSeq
+          m.target +: (MapConfig.signatureTarget(db, m).toSeq ++
+            MapConfig.labelTarget(db, m).toSeq)
         }
       }.distinct.map(t => t -> s"${cfg.targetsRoot}/$t").toMap
       catch { case _: Exception => Map.empty }

@@ -71,6 +71,10 @@ object MapConfig {
     *             translated once at map-compile time via [[Cel.translate]],
     *             so a kuvasz map file ports verbatim). Unknown values fail
     *             loudly at load, matching the loader's typo policy. */
+  /** @param labels true = maintain a companion duplicate-cluster label
+    *               table per applied micro-batch (LabelStore; requires
+    *               `signatures: true` — labels fold off the signature
+    *               table). Placed at `<targetsRoot>/<target>_labels`. */
   final case class TableEntry(
       `type`: Option[String],
       target: Option[String],
@@ -78,7 +82,8 @@ object MapConfig {
       set: Option[Map[String, String]],
       partitions_regex: Option[String],
       signatures: Option[Boolean] = None,
-      lang: Option[String] = None)
+      lang: Option[String] = None,
+      labels: Option[Boolean] = None)
   final case class SourceDatabase(name: String, urls: Seq[UrlEntry],
                                   tables: Map[String, TableEntry])
   final case class DbMap(databases: Seq[SourceDatabase])
@@ -96,6 +101,7 @@ object MapConfig {
       partitions_regex: Option[String] = None,
       signatures: Option[Boolean] = None,
       lang: Option[String] = None,
+      labels: Option[Boolean] = None,
       tbl_id: Option[Long] = None)
   final case class RefDb(database: String, urls: Seq[RefUrl],
                          tables: Option[Map[String, RefTable]],
@@ -134,7 +140,7 @@ object MapConfig {
                 "(map.go:38) — accepted and ignored")
             src -> TableEntry(t.`type`, t.target, t.filter, t.set,
               t.partitions_regex, t.signatures,
-              lang = t.lang.orElse(Some("cel")))
+              lang = t.lang.orElse(Some("cel")), labels = t.labels)
           })
       }
       DbMap(dbs)
@@ -170,7 +176,7 @@ object MapConfig {
             // unknown fields) and lossless for us.
             src -> RefTable(t.`type`, t.target, t.filter, t.set, None,
               t.partitions_regex, t.signatures,
-              lang = t.lang.orElse(Some("sql")))
+              lang = t.lang.orElse(Some("sql")), labels = t.labels)
           }))
       }
       yamlMapper.writeValueAsString(refs)
@@ -184,6 +190,14 @@ object MapConfig {
   def signatureTarget(db: SourceDatabase, m: TableMapping): Option[String] =
     db.tables.get(m.sourceTable).flatMap(_.signatures).filter(identity)
       .map(_ => s"${m.target}_signatures")
+
+  /** The companion duplicate-cluster LABEL table name for a mapping, when
+    * its entry opts in (`"labels": true`) — same single-authority rule as
+    * [[signatureTarget]] (orchestrator sink wiring + Main's metrics and
+    * maintenance coverage must agree). */
+  def labelTarget(db: SourceDatabase, m: TableMapping): Option[String] =
+    db.tables.get(m.sourceTable).flatMap(_.labels).filter(identity)
+      .map(_ => s"${m.target}_labels")
 
   /** Resolve one database's table map to engine mappings (the analog of
     * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). Callers

@@ -257,6 +257,7 @@ object AdminHttp {
                 checkName("table", mp.sourceTable)
                 checkName("target", mp.target)
                 MapConfig.signatureTarget(db, mp).foreach(checkName("target", _))
+                MapConfig.labelTarget(db, mp).foreach(checkName("target", _))
               }
             }
             editLock.synchronized { writeMap(mapPath, m) }

@@ -37,7 +37,13 @@ object CdcStream {
 
   /** Companion signatures table maintained per applied micro-batch (the
     * ingest half of incremental dedup — SignatureStore). */
-  final case class SignatureSink(lake: LakeTable, textCol: String = "text")
+  /** @param labels optional duplicate-cluster label table folded forward
+    *               AFTER the signature commit (LabelStore reads the
+    *               post-commit signature rows); it keeps its own epoch on
+    *               its own snapshot, so a crash between any two of the
+    *               three commits replays exactly the missing halves */
+  final case class SignatureSink(lake: LakeTable, textCol: String = "text",
+                                 labels: Option[LakeTable] = None)
 
   /** @param sidOverride stamp every event with this tenant sid (the
     *                    reference assigns the sid per source URL in config,
@@ -159,6 +165,13 @@ object CdcStream {
                 graft.operators.SignatureStore.applyBatch(s.lake, events,
                   r.mapping, r.lake, s.textCol, batchId = batchId,
                   epochKey = r.epochKey)
+              }
+              s.labels.foreach { l =>
+                lockFor(l.root).synchronized {
+                  graft.operators.LabelStore.applyBatch(l, s.lake, events,
+                    r.mapping, r.lake, s.textCol, batchId = batchId,
+                    epochKey = r.epochKey)
+                }
               }
             }
         }

@@ -91,8 +91,19 @@ object Orchestrator {
               if (LakeTable.exists(sroot)) LakeTable.load(spark, sroot)
               else LakeTable.create(spark, sroot,
                 graft.operators.SignatureStore.spec(sname))
-            CdcStream.SignatureSink(slake)
+            // "labels": true — cluster labels folded forward per batch off
+            // the signature companion (so it REQUIRES the signatures)
+            val llake = MapConfig.labelTarget(db, m).map { lname =>
+              val lroot = s"$targetsRoot/$lname"
+              if (LakeTable.exists(lroot)) LakeTable.load(spark, lroot)
+              else LakeTable.create(spark, lroot,
+                graft.operators.LabelStore.spec(lname))
+            }
+            CdcStream.SignatureSink(slake, labels = llake)
           }
+        require(MapConfig.labelTarget(db, m).isEmpty || sink.isDefined,
+          s"'labels' on table '${m.sourceTable}' requires 'signatures': " +
+            "true (labels fold off the signature companion)")
         (CdcStream.Route(m, lake, signatures = sink), existed)
       }
       val routes0 = routesInfo.map(_._1)
@@ -146,9 +157,17 @@ object Orchestrator {
             // not flow through the streaming apply). `force` after a real
             // sync re-signs so the fresh backfill is covered.
             r.signatures.foreach { s =>
-              CdcStream.lockFor(s.lake.root).synchronized {
+              val sigBooted = CdcStream.lockFor(s.lake.root).synchronized {
                 graft.operators.SignatureStore.bootstrap(s.lake, r.lake,
                   s.textCol, force = didSync)
+              }
+              // labels bootstrap AFTER (and whenever) the signatures did:
+              // they are the CC of the signature table's current pairs
+              s.labels.foreach { l =>
+                CdcStream.lockFor(l.root).synchronized {
+                  graft.operators.LabelStore.bootstrap(l, s.lake,
+                    force = sigBooted)
+                }
               }
             }
           }
@@ -224,7 +243,7 @@ object Orchestrator {
             }
             val props = r.lake.snapshot().properties
             r.signatures.foreach { s =>
-              CdcStream.lockFor(s.lake.root).synchronized {
+              val sigRebooted = CdcStream.lockFor(s.lake.root).synchronized {
                 val se = s.lake.snapshot().properties
                   .getOrElse(r.epochKey, "-1").toLong
                 val de = props.getOrElse(r.epochKey, "-1").toLong
@@ -240,9 +259,27 @@ object Orchestrator {
                 // (the events filter out before BOTH routes) — re-sign
                 // from the doc table's current state, which contains
                 // exactly those rows (the bootstrap full-sync analog)
-                if (healing && se < preDocEpoch)
+                if (healing && se < preDocEpoch) {
                   graft.operators.SignatureStore.bootstrap(s.lake, r.lake,
                     s.textCol, force = true)
+                  true
+                } else false
+              }
+              // the label table heals against the SAME doc epoch, and a
+              // re-signed signature table invalidates it wholesale (its
+              // source changed under it) regardless of its own epoch
+              s.labels.foreach { l =>
+                CdcStream.lockFor(l.root).synchronized {
+                  val le = l.snapshot().properties
+                    .getOrElse(r.epochKey, "-1").toLong
+                  val de = props.getOrElse(r.epochKey, "-1").toLong
+                  if (le > de)
+                    l.commit(Nil, Set.empty,
+                      properties = Map(r.epochKey -> de.toString))
+                  if (sigRebooted || (healing && le < preDocEpoch))
+                    graft.operators.LabelStore.bootstrap(l, s.lake,
+                      force = true)
+                }
               }
             }
             r.copy(ordFloor = props.getOrElse(floorKey, "-1").toLong)
@@ -351,6 +388,10 @@ object Orchestrator {
           require(spec.schema.fieldNames.contains(textCol),
             s"'signatures' requires a '$textCol' column on target '${m.target}'")
         }
+        require(MapConfig.labelTarget(db, m).isEmpty ||
+          db.tables.get(m.sourceTable).flatMap(_.signatures).contains(true),
+          s"'labels' on table '${m.sourceTable}' requires 'signatures': " +
+            "true (labels fold off the signature companion)")
       }
     }
 
