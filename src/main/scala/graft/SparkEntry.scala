@@ -48,6 +48,7 @@ object SparkEntry {
     "cdc_stream_watermark_agg" -> EventsCdc.qWatermarkAgg,
     "cdc_lineage_watermark" -> EventsCdc.qLineage,
     "cdc_time_travel" -> EventsCdc.qTimeTravel,
+    "cdc_labels_e2e" -> EventsCdc.qLabelsE2e,
     "cdc_metrics_ops" -> EventsCdc.qMetrics,
     "cdc_metrics_batches" -> EventsCdc.qMetricsBatches,
     "cdc_drift_deletemiss" -> EventsCdc.qDriftDeleteMiss,
@@ -116,6 +117,7 @@ object SparkEntry {
     "cdc_stream_watermark_agg" -> EventsCdc.watermarkAggOracle,
     "cdc_lineage_watermark" -> EventsCdc.lineageOracle,
     "cdc_time_travel" -> EventsCdc.timeTravelOracle,
+    "cdc_labels_e2e" -> EventsCdc.labelsE2eOracle,
     "cdc_metrics_ops" -> EventsCdc.metricsOracle,
     "cdc_metrics_batches" -> EventsCdc.metricsBatchesOracle,
     "cdc_drift_deletemiss" -> EventsCdc.driftDeleteMissOracle,

@@ -74,7 +74,9 @@ object MapConfig {
   /** @param labels true = maintain a companion duplicate-cluster label
     *               table per applied micro-batch (LabelStore; requires
     *               `signatures: true` — labels fold off the signature
-    *               table). Placed at `<targetsRoot>/<target>_labels`. */
+    *               table). Placed at `<targetsRoot>/<target>_labels`.
+    * @param text_col the target column the signature/label companions
+    *                 treat as the document text (default "text"). */
   final case class TableEntry(
       `type`: Option[String],
       target: Option[String],
@@ -83,7 +85,8 @@ object MapConfig {
       partitions_regex: Option[String],
       signatures: Option[Boolean] = None,
       lang: Option[String] = None,
-      labels: Option[Boolean] = None)
+      labels: Option[Boolean] = None,
+      text_col: Option[String] = None)
   final case class SourceDatabase(name: String, urls: Seq[UrlEntry],
                                   tables: Map[String, TableEntry])
   final case class DbMap(databases: Seq[SourceDatabase])
@@ -102,6 +105,7 @@ object MapConfig {
       signatures: Option[Boolean] = None,
       lang: Option[String] = None,
       labels: Option[Boolean] = None,
+      text_col: Option[String] = None,
       tbl_id: Option[Long] = None)
   final case class RefDb(database: String, urls: Seq[RefUrl],
                          tables: Option[Map[String, RefTable]],
@@ -140,7 +144,8 @@ object MapConfig {
                 "(map.go:38) — accepted and ignored")
             src -> TableEntry(t.`type`, t.target, t.filter, t.set,
               t.partitions_regex, t.signatures,
-              lang = t.lang.orElse(Some("cel")), labels = t.labels)
+              lang = t.lang.orElse(Some("cel")), labels = t.labels,
+              text_col = t.text_col)
           })
       }
       DbMap(dbs)
@@ -176,7 +181,8 @@ object MapConfig {
             // unknown fields) and lossless for us.
             src -> RefTable(t.`type`, t.target, t.filter, t.set, None,
               t.partitions_regex, t.signatures,
-              lang = t.lang.orElse(Some("sql")), labels = t.labels)
+              lang = t.lang.orElse(Some("sql")), labels = t.labels,
+              text_col = t.text_col)
           }))
       }
       yamlMapper.writeValueAsString(refs)
@@ -198,6 +204,11 @@ object MapConfig {
   def labelTarget(db: SourceDatabase, m: TableMapping): Option[String] =
     db.tables.get(m.sourceTable).flatMap(_.labels).filter(identity)
       .map(_ => s"${m.target}_labels")
+
+  /** The target column the signature/label companions sign as document
+    * text for this mapping (`"text_col"`, default "text"). */
+  def textColOf(db: SourceDatabase, m: TableMapping): String =
+    db.tables.get(m.sourceTable).flatMap(_.text_col).getOrElse("text")
 
   /** Resolve one database's table map to engine mappings (the analog of
     * `RefreshMappingTable`, `streamer/mapping_table.go:85-180`). Callers

@@ -596,7 +596,7 @@ ORDER BY l.doc_id"""
     * table (corpus ∪ delta) and the delta's signatures — the D5 predicate
     * (match_cnt >= IncMinMatch) emitted as a symmetric (a, b) pair set;
     * `a < b` dedups the delta-delta half. No text on either side. */
-  private def signatureAgreementPairs(left: DataFrame, right: DataFrame,
+  private[operators] def signatureAgreementPairs(left: DataFrame, right: DataFrame,
                                       opLabel: String): DataFrame =
     sigAgreement(left, right, opLabel, symmetric = true).select("a", "b")
 

@@ -84,8 +84,9 @@ object Orchestrator {
         val sink = MapConfig.signatureTarget(db, m).map { sname =>
             require(m.mode != TableMode.History,
               s"'signatures' is not supported for history table '${m.sourceTable}'")
-            require(spec.schema.fieldNames.contains("text"),
-              s"'signatures' requires a 'text' column on target '${m.target}'")
+            val textCol = MapConfig.textColOf(db, m)
+            require(spec.schema.fieldNames.contains(textCol),
+              s"'signatures' requires a '$textCol' column on target '${m.target}'")
             val sroot = s"$targetsRoot/$sname"
             val slake =
               if (LakeTable.exists(sroot)) LakeTable.load(spark, sroot)
@@ -99,7 +100,7 @@ object Orchestrator {
               else LakeTable.create(spark, lroot,
                 graft.operators.LabelStore.spec(lname))
             }
-            CdcStream.SignatureSink(slake, labels = llake)
+            CdcStream.SignatureSink(slake, textCol = textCol, labels = llake)
           }
         require(MapConfig.labelTarget(db, m).isEmpty || sink.isDefined,
           s"'labels' on table '${m.sourceTable}' requires 'signatures': " +
@@ -367,8 +368,7 @@ object Orchestrator {
     * table-add naming an unknown target) must not take the deployment down
     * into a stop/retry loop. Throws with the offending detail. */
   private[streaming] def validateBootable(dbMap: MapConfig.DbMap,
-                                          specs: Map[String, TableSpec],
-                                          textCol: String = "text"): Unit =
+                                          specs: Map[String, TableSpec]): Unit =
     dbMap.databases.foreach { db =>
       db.urls.foreach { u =>
         val f = u.format.getOrElse("parquet")
@@ -385,8 +385,9 @@ object Orchestrator {
         if (db.tables.get(m.sourceTable).flatMap(_.signatures).contains(true)) {
           require(m.mode != TableMode.History,
             s"'signatures' is not supported for history table '${m.sourceTable}'")
-          require(spec.schema.fieldNames.contains(textCol),
-            s"'signatures' requires a '$textCol' column on target '${m.target}'")
+          val tc = MapConfig.textColOf(db, m)
+          require(spec.schema.fieldNames.contains(tc),
+            s"'signatures' requires a '$tc' column on target '${m.target}'")
         }
         require(MapConfig.labelTarget(db, m).isEmpty ||
           db.tables.get(m.sourceTable).flatMap(_.signatures).contains(true),

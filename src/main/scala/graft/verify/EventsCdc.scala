@@ -361,6 +361,106 @@ object EventsCdc {
       "sid" +: outCols)
   }
 
+  /** X14 through the FULL ingest loop, oracle-gated: the orchestrator
+    * streams the derived WAL with "signatures" + "labels" companions, a
+    * `set` transform synthesizing group-shared text into props
+    * (user_id % 5 picks the group) so duplicate clusters form and churn
+    * — deletes (error events) shrink or dissolve clusters THROUGH the
+    * real stream, TOAST updates ride along — and the final label
+    * companion is compared, cluster frame and all, against the D5
+    * recursive closure DuckDB recomputes over the final LIVE rows only.
+    * cluster_id is the lexicographic min of member id strings on both
+    * sides (the label table's doc_id is the rendered merge-key string). */
+  def qLabelsE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lbl").toString
+    // the capture-tool side of the harness stamps group-shared text into
+    // props on every event that CARRIES props (clicks keep omitting it —
+    // the unchanged-TOAST wire shape flows through signatures unchanged);
+    // the text is constant per user, so the folded final props value is
+    // group text no matter which event wins the fold
+    val ev = derive(spark, dir).map { e =>
+      if (e.after.contains("props"))
+        e.copy(after = e.after + ("props" ->
+          s"g${e.after("user_id").toLong % 5} ".repeat(19).trim))
+      else e
+    }
+    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("event_id")).head().getLong(0)
+    val per = maxLsn / 2 + 1
+    (0 until 2).foreach { b =>
+      val lo = b * per; val hi = lo + per
+      ev.filter(col("lsn") >= lo && col("lsn") < hi).toDF()
+        .coalesce(1).write.parquet(f"$tmp/wal/seg-$b%05d")
+    }
+    val mapJson =
+      s"""{"databases":[{"name":"app",
+         |  "urls":[{"url":"$tmp/wal/seg-*","sid":"s0"}],
+         |  "tables":{"events":{"type":"clone","target":"events_state",
+         |    "signatures":true,"labels":true,"text_col":"props"}}}]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/map.json"), mapJson)
+    graft.streaming.Orchestrator.runAvailable(spark, s"$tmp/map.json",
+      s"$tmp/targets", Map("events_state" -> spec()), s"$tmp/ckpt")
+    val doc = LakeTable.load(spark, s"$tmp/targets/events_state")
+    val lbl = LakeTable.load(spark, s"$tmp/targets/events_state_labels").read()
+      .select(col("doc_id").cast("long").as("user_id"), col("cluster_id"))
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    doc.read().select(col("user_id"))
+      .join(lbl, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        coalesce(col("cluster_id"), col("user_id").cast("string")).as("cluster_id"))
+      .join(sizes, Seq("cluster_id"), "left_outer")
+      .select(col("user_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy("user_id")
+  }
+
+  val labelsE2eOracle: String = {
+    import graft.operators.TextPipeline.{Bands, IncMinMatch, MinhashK}
+    val sigCols = (0 until MinhashK)
+      .map(k => s"min(md5('$k|' || s)) AS h$k").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS bk FROM mh")
+      .mkString("\n  UNION ALL ")
+    val matchSum = (0 until MinhashK)
+      .map(k => s"CASE WHEN ma.h$k = mb.h$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE ${nopsCte(false, null)},
+lastd AS (SELECT k, max(ord) AS dl FROM nops WHERE op='D' GROUP BY k),
+seg AS (SELECT e.* FROM nops e LEFT JOIN lastd d ON e.k = d.k
+        WHERE e.op <> 'D' AND e.ord > coalesce(d.dl, -1)),
+fi AS (SELECT k, min(ord) AS il FROM seg WHERE op='I' GROUP BY k),
+live AS (SELECT s.* FROM seg s JOIN fi f ON s.k = f.k
+         WHERE s.ord = f.il OR (s.op='U' AND s.ord > f.il)),
+fin AS (SELECT DISTINCT k AS user_id FROM live),
+d AS (SELECT CAST(user_id AS VARCHAR) AS doc_id,
+  trim(repeat('g' || CAST(user_id % 5 AS VARCHAR) || ' ', 19)) AS text
+  FROM fin),
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM d),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w WHERE len(ws) >= 3),
+mh AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+bands AS ($bandRows),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         JOIN bands y ON x.band = y.band AND x.bk = y.bk
+                      AND x.doc_id < y.doc_id),
+p AS (SELECT c.a, c.b FROM cand c
+      JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b
+      WHERE $matchSum >= $IncMinMatch),
+e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+reach(x, y) AS (SELECT a AS x, b AS y FROM e
+                UNION
+                SELECT r.x, e2.b AS y FROM reach r JOIN e e2 ON e2.a = r.y),
+lbl AS (SELECT dd.doc_id,
+          least(dd.doc_id, coalesce(min(r.y), dd.doc_id)) AS cluster_id
+        FROM d dd LEFT JOIN reach r ON r.x = dd.doc_id
+        GROUP BY dd.doc_id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT CAST(l.doc_id AS BIGINT) AS user_id, l.cluster_id, s.cluster_size
+FROM lbl l JOIN sz s USING (cluster_id)
+ORDER BY user_id"""
+  }
+
   /** Time travel: replay ALL batches, then read the snapshot that batch 2
     * committed (resolved via lineage, not version arithmetic) — the state
     * must equal the fold of only the first three batches' LSN range. */
