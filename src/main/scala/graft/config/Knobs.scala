@@ -20,4 +20,11 @@ object Knobs {
     * the bucket-count threshold maintenance/admin compaction targets. */
   @volatile var compactFileCap: Int =
     sys.env.getOrElse("GRAFT_COMPACT_FILE_CAP", "8").toInt
+
+  /** Pair-count ceiling for the connected-components small-graph fast
+    * path (driver union-find, one job). Above it the distributed
+    * label-propagation fixpoint runs. 0 forces the distributed path
+    * (tests cover both). */
+  @volatile var ccCollectCap: Long =
+    sys.env.getOrElse("GRAFT_CC_COLLECT_CAP", "200000").toLong
 }

@@ -88,6 +88,12 @@ object LabelStore {
     val committed = lsnap0.properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false
 
+    val timing = sys.env.get("GRAFT_TIMING").contains("1")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (timing) {
+      println(f"[labels] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val docSnap = docLake.snapshot()
     val mergeKey = (if (docSnap.hasSid) Seq("sid") else Nil) ++ docSnap.keyCols
     val envSchema = mapping.sourceSchema.getOrElse(docSnap.schema)
@@ -108,23 +114,36 @@ object LabelStore {
       .distinct().filter(col("doc_id").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      lap("touched-set")
       if (touched.isEmpty) {
         labels.commit(Nil, Set.empty,
           properties = Map(epochKey -> batchId.toString))
         return true
       }
+      lap("touched-empty-check")
       val old = labels.read().select(col("doc_id"), col("cluster_id"))
       val sigsNow = sigCols(sig.read())
-      // 1. every touched doc's old edges die with its old signature
+      // 1. every touched doc's old edges die with its old signature.
+      //    PERSIST the result: the merge kernel references its label input
+      //    several times (endpoint semi, roots, relabel, fresh), and
+      //    afterDel is a live multi-join plan, not a landed table
       val afterDel = TextPipeline.clustersAfterDeletes(
         spark, old, sigsNow, touched)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lap("delete-kernel")
       // 2. docs still present re-pair off their POST-commit signatures;
       //    the touched set is batch-bounded, so the signature read prunes
-      //    to its buckets at scale (semi join on the bucketed key)
+      //    to its buckets at scale (semi join on the bucketed key).
+      //    persisted: the agreement join references it once per band plus
+      //    the verify side
       val touchedSigs = sigsNow.join(broadcast(touched), Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newPairs = TextPipeline.signatureAgreementPairs(
         sigsNow, touchedSigs, "labels_ingest")
       val next = TextPipeline.clustersAgainstLabels(spark, afterDel, newPairs)
+      lap("merge-kernel")
+      touchedSigs.unpersist(blocking = false)
+      afterDel.unpersist(blocking = false)
 
       // changed rows only: the merge write must not rewrite untouched
       // clusters (at 10^10 docs the label table itself is large)
@@ -133,6 +152,7 @@ object LabelStore {
         .select(col("doc_id"), col("n.cluster_id").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        lap("diff")
         val lsnap = labels.snapshot()
         val bucketOf = pmod(xxhash64(col("doc_id")), lit(lsnap.numBuckets))
         val statRow = diff.agg(
@@ -160,6 +180,7 @@ object LabelStore {
           zones = zones, zoneExemptBuckets = fragmented).map(_.path).toSet
         labels.commit(labels.writeDataFiles(out, lsnap.currentSchemaId),
           removed, properties = Map(epochKey -> batchId.toString))
+        lap("merge-write")
         true
       } finally diff.unpersist(blocking = false)
     } finally touched.unpersist(blocking = false)

@@ -486,6 +486,41 @@ ORDER BY corpus_id, new_id"""
     // to parquet makes every round replan from a constant-size scan leaf.
     pairsIn.select(col("a"), col("b")).write.parquet(s"$art/pairs.parquet")
     val pairs = spark.read.parquet(s"$art/pairs.parquet")
+    // small-graph fast path: a pair set under the cap (the normal case for
+    // a per-BATCH root/pair graph — it is bounded by the batch, not the
+    // corpus) converges on the driver in ONE collect via min-rooted
+    // union-find, replacing ~4 scheduler round-trips per propagation round
+    // with one job. Deterministic (union-by-min is order-independent) and
+    // type-generic (doc_id may be long or string — both Comparable). Above
+    // the cap — a corpus-scale graph — the distributed fixpoint below runs
+    // unchanged; the landed-parquet contract is identical either way.
+    if (pairs.count() <= graft.config.Knobs.ccCollectCap) {
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      @inline def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      pairs.collect().foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          pairs.schema.head.dataType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          pairs.schema.head.dataType, nullable = false)))
+      val rows = parent.keys.toSeq.map(k =>
+        org.apache.spark.sql.Row(k, find(k)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .write.parquet(s"$art/labels-uf.parquet")
+      return spark.read.parquet(s"$art/labels-uf.parquet")
+    }
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -639,6 +674,9 @@ ORDER BY l.doc_id"""
     val newPairs = newPairsIn.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a pair-free batch merges nothing: pass the table through (pairless
+      // endpoints would not enter the label table anyway)
+      if (newPairs.isEmpty) return labels
       // endpoint set is bounded by the batch's pair count — broadcast it so
       // the (corpus-sized) label table is never SHUFFLED, only scanned:
       // endpoint labels come from a broadcast-right semi join, and the
@@ -648,8 +686,11 @@ ORDER BY l.doc_id"""
       val ends = newPairs.select(col("a").as("doc_id"))
         .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
       val endLabels = labels.join(broadcast(ends), Seq("doc_id"), "left_semi")
+      // referenced three times below (both rootEdges sides + fresh) and
+      // its plan includes a label-table scan — materialize once
       val roots = ends.join(endLabels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("root"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rootEdges = newPairs
         .join(roots.select(col("doc_id").as("a"), col("root").as("ra")), "a")
         .join(roots.select(col("doc_id").as("b"), col("root").as("rb")), "b")
@@ -674,8 +715,9 @@ ORDER BY l.doc_id"""
       val art = java.nio.file.Files.createTempDirectory("graft-labels")
       tmpLakes.add(art)
       relabeled.unionAll(fresh).write.parquet(s"$art/labels.parquet")
+      roots.unpersist(blocking = false)
       spark.read.parquet(s"$art/labels.parquet")
-    } finally newPairs.unpersist(blocking = false)
+    } finally { newPairs.unpersist(blocking = false) }
   }
 
   /** Delete-aware incremental clustering — the other half of X14b's
@@ -698,6 +740,10 @@ ORDER BY l.doc_id"""
     val deleted = deletedIn.select(col("doc_id")).distinct()
     val touched = labels.join(broadcast(deleted), Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
+    // no touched cluster (e.g. the very first batch onto empty labels, or
+    // deletes of pure singletons): the table passes through unchanged —
+    // one tiny job instead of the whole kernel
+    if (touched.isEmpty) return labels
     // remaining members of touched clusters: bounded by those clusters'
     // sizes (the same bound the merge path's rewrite set has). A deleted
     // singleton has no label row and correctly touches nothing.

@@ -77,10 +77,21 @@ class PipelineSpec extends AnyFunSuite {
     // propagation needs one round per hop and would trip ClusterMaxIters
     // at 20 — pointer doubling converges in ~log2(diameter) rounds
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val lbl = TextPipeline.propagateLabels(spark, pairs).collect()
+    // force the DISTRIBUTED fixpoint: under the collect cap the union-find
+    // fast path would answer without exercising pointer doubling at all
+    val cap0 = graft.config.Knobs.ccCollectCap
+    graft.config.Knobs.ccCollectCap = 0L
+    try {
+      val lbl = TextPipeline.propagateLabels(spark, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl.size == 200 && lbl.values.forall(_ == 0L),
+        "every path vertex must adopt the component minimum")
+    } finally graft.config.Knobs.ccCollectCap = cap0
+    // and the fast path must agree bit-for-bit on the same graph
+    val uf = TextPipeline.propagateLabels(spark, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(lbl.size == 200 && lbl.values.forall(_ == 0L),
-      "every path vertex must adopt the component minimum")
+    assert(uf.size == 200 && uf.values.forall(_ == 0L),
+      "union-find fast path must match the distributed result")
   }
 
   test("near-dup clustering: transitive chains collapse to one canonical doc") {
