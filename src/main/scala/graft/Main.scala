@@ -90,6 +90,10 @@ object Main {
     // maintenance loop below all honor the SAME cap (flags/env/file win
     // over the code default through ProcessConfig's layering)
     graft.config.Knobs.compactFileCap = cfg.compactFileCap
+    // same pattern for the full-sync token bucket (reference app.sync_rate/
+    // sync_burst): published once, read by Orchestrator at each initialSync
+    graft.config.Knobs.syncRateRows = cfg.syncRate
+    graft.config.Knobs.syncBurstRows = cfg.syncBurst
 
     val static = cfg.specsFile.map(ProcessConfig.loadSpecs).getOrElse(Map.empty)
     val specs = new DynamicSpecs(static, spark, cfg.targetsRoot)

@@ -27,4 +27,16 @@ object Knobs {
     * (tests cover both). */
   @volatile var ccCollectCap: Long =
     sys.env.getOrElse("GRAFT_CC_COLLECT_CAP", "200000").toLong
+
+  /** Initial full-sync pacing — the analog of the reference's token-bucket
+    * full-sync rate limit (`config.go:97-98` app.sync_rate / app.sync_burst,
+    * applied in `full_sync.go:39-50`): average rows/sec cap and per-commit
+    * chunk size for the Backfill.initialSync runs the orchestrator starts.
+    * rate <= 0 = unpaced (tests and drain runs want full speed). Resolved
+    * through ProcessConfig's defaults < file < env < flags layering and
+    * published here at serve() time, same as [[compactFileCap]]. */
+  @volatile var syncRateRows: Long =
+    sys.env.getOrElse("GRAFT_SYNC_RATE", "-1").toDouble.toLong
+  @volatile var syncBurstRows: Long =
+    sys.env.getOrElse("GRAFT_SYNC_BURST", "100000").toDouble.toLong
 }

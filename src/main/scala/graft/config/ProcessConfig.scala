@@ -11,8 +11,9 @@ import java.nio.file.{Files, Paths}
   * loader (`streamer/config.go:111-188`: TOML file + environment + flags
   * merged with precedence). Here the layers are, lowest to highest:
   *
-  *   defaults  <  settings file (`--config <path>`; JSON, or TOML like the
-  *                reference — chosen by the `.toml` extension)
+  *   defaults  <  settings file (`--config <path>`; JSON, flat TOML, or —
+  *                verbatim — the reference's own sectioned
+  *                `kuvasz-streamer.toml`, chosen by extension + shape)
   *             <  environment (`GRAFT_<UPPER_SNAKE_KEY>`)
   *             <  CLI flags (`--kebab-key=value` or `--kebab-key value`)
   *
@@ -48,7 +49,12 @@ final case class ProcessConfig(
     // merge compaction, signature-store merge): resolved through the same
     // defaults < file < env (GRAFT_COMPACT_FILE_CAP) < flags layering and
     // published to graft.config.Knobs at serve() time
-    compactFileCap: Int = Knobs.compactFileCap)
+    compactFileCap: Int = Knobs.compactFileCap,
+    // initial full-sync pacing (the reference's app.sync_rate/app.sync_burst
+    // token bucket, config.go:97-98): rows/sec cap + per-commit chunk rows,
+    // published to Knobs at serve() time; rate <= 0 = unpaced
+    syncRate: Long = Knobs.syncRateRows,
+    syncBurst: Long = Knobs.syncBurstRows)
 
 object ProcessConfig {
 
@@ -58,7 +64,7 @@ object ProcessConfig {
     "specs_file", "admin_port", "metrics_port", "jwt_key", "master",
     "shuffle_partitions", "salts", "max_files_per_trigger", "trigger_ms",
     "drain", "maintenance_interval_sec", "vacuum_retain",
-    "compact_file_cap")
+    "compact_file_cap", "sync_rate", "sync_burst")
 
   /** Resolve the config from `args` + `env` (+ the settings file named by
     * `--config`/GRAFT_CONFIG, if any). */
@@ -92,10 +98,18 @@ object ProcessConfig {
         case Some(path) =>
           val text = Files.readString(Paths.get(path))
           // the reference's settings file is TOML (config.go); accept both
-          // formats by extension — same flat keys, same typo policy
+          // formats by extension — flat keys natively, or the reference's
+          // own sectioned shape verbatim (translateReference)
           val raw: Map[String, String] =
-            if (path.endsWith(".toml")) parseFlatToml(text, path)
-            else {
+            if (path.endsWith(".toml")) {
+              val parsed = parseToml(text, path)
+              // a sectioned file is the REFERENCE's shape (config.go:17-108,
+              // `[server]`/`[app]`/... tables) — translate it verbatim;
+              // a flat file is the engine's native key space
+              if (parsed.keys.exists(_.contains('.')))
+                translateReference(parsed, path)
+              else parsed
+            } else {
               val node = mapper.readTree(text)
               val it = node.properties().iterator()
               val out = Map.newBuilder[String, String]
@@ -166,25 +180,42 @@ object ProcessConfig {
       maintenanceIntervalSec = get("maintenance_interval_sec").map(_.toLong)
         .getOrElse(dflt.maintenanceIntervalSec),
       vacuumRetain = int("vacuum_retain", dflt.vacuumRetain),
-      compactFileCap = int("compact_file_cap", dflt.compactFileCap))
+      compactFileCap = int("compact_file_cap", dflt.compactFileCap),
+      // toDouble first: the reference writes these as TOML floats
+      syncRate = get("sync_rate").map(_.toDouble.toLong)
+        .getOrElse(dflt.syncRate),
+      syncBurst = get("sync_burst").map(_.toDouble.toLong)
+        .getOrElse(dflt.syncBurst))
   }
 
-  /** Flat TOML settings parser — the engine's process settings are a flat
-    * key space (see [[keys]]), so the accepted TOML is the flat subset:
+  /** TOML settings parser — the subset the reference's shipped config
+    * files use (`package/etc/kuvasz/kuvasz-streamer.toml` and the
+    * `test/conf` configs):
     * `key = value` lines, `#` comments, basic/literal strings, bare
-    * ints/floats/bools. Table headers (`[section]`) fail loudly — a
-    * sectioned file from another tool must be flattened consciously, not
-    * silently mis-read (same typo policy as the JSON and flag layers). */
-  private[config] def parseFlatToml(text: String, path: String): Map[String, String] = {
+    * ints/floats/bools, single-line scalar arrays, and `[section]` table
+    * headers. Keys under a header come back dotted (`section.key`) — a
+    * sectioned file is the reference's shape and goes through
+    * [[translateReference]]; a flat file is the engine's native key space
+    * (same typo policy as the JSON and flag layers either way). */
+  private[config] def parseToml(text: String, path: String): Map[String, String] = {
     def fail(ln: Int, msg: String): Nothing =
       throw new IllegalArgumentException(s"$path:${ln + 1}: $msg")
     val out = Map.newBuilder[String, String]
+    var section = ""
     text.linesIterator.zipWithIndex.foreach { case (raw, ln) =>
       val line = raw.trim
       if (line.isEmpty || line.startsWith("#")) ()
-      else if (line.startsWith("["))
-        fail(ln, "table headers are not supported — the engine's settings " +
-          "are flat keys (" + keys.mkString(", ") + ")")
+      else if (line.startsWith("[")) {
+        val end = line.indexOf(']')
+        if (end < 2) fail(ln, "malformed table header")
+        val name = line.substring(1, end).trim
+        if (!name.matches("[A-Za-z0-9_.-]+"))
+          fail(ln, s"unsupported table name '$name'")
+        val rest = line.substring(end + 1).trim
+        if (rest.nonEmpty && !rest.startsWith("#"))
+          fail(ln, s"trailing content after table header: '$rest'")
+        section = name + "."
+      }
       else {
         val eq = line.indexOf('=')
         if (eq < 1) fail(ln, "expected 'key = value'")
@@ -225,6 +256,27 @@ object ProcessConfig {
             if (rest.nonEmpty && !rest.startsWith("#"))
               fail(ln, s"trailing content after string: '$rest'")
             rhs.substring(1, end)
+          } else if (rhs.startsWith("[")) {
+            // single-line scalar array (the reference's cors lists);
+            // elements re-parse as quoted strings or bare scalars and
+            // come back comma-joined (no engine key is list-valued — the
+            // reference keys that are get accepted-and-noted verbatim)
+            val end = rhs.lastIndexOf(']')
+            if (end < 0) fail(ln, "unterminated array (single-line only)")
+            val rest = rhs.substring(end + 1).trim
+            if (rest.nonEmpty && !rest.startsWith("#"))
+              fail(ln, s"trailing content after array: '$rest'")
+            val body = rhs.substring(1, end).trim
+            if (body.isEmpty) ""
+            else body.split(",").map(_.trim).filter(_.nonEmpty).map { el =>
+              if (el.startsWith("\"") || el.startsWith("'")) {
+                if (el.length < 2 || el.last != el.head)
+                  fail(ln, s"malformed array element '$el'")
+                el.substring(1, el.length - 1)
+              } else if (el.matches("true|false|[+-]?[0-9_]+([.][0-9_]+)?"))
+                el.replace("_", "")
+              else fail(ln, s"unsupported array element '$el'")
+            }.mkString(",")
           } else {
             val bare = rhs.indexOf('#') match {
               case -1 => rhs
@@ -234,7 +286,80 @@ object ProcessConfig {
               fail(ln, s"unsupported value '$bare' (strings must be quoted)")
             bare.replace("_", "")
           }
-        out += key.replace('-', '_') -> value
+        out += section + key.replace('-', '_') -> value
+      }
+    }
+    out.result()
+  }
+
+  /** Reference settings keys with no engine analog: accepted so the
+    * reference's own config file loads VERBATIM, each noted once to stderr
+    * (an ignored key must never be silent). `logs.*` and `cors.*` are
+    * whole no-analog families (Spark/log4j owns logging; CORS headers are
+    * emitted iff jwt auth is on — AdminHttp). */
+  private val refNoAnalog: Map[String, String] = Map(
+    "server.name" -> "",
+    "server.max_goroutines" -> "parallelism comes from --master / --shuffle-partitions",
+    "server.read_timeout" -> "", "server.read_header_timeout" -> "",
+    "server.write_timeout" -> "", "server.idle_timeout" -> "",
+    "server.max_header_bytes" -> "", "server.pprof" -> "",
+    "maintenance.pprof" -> "",
+    "maintenance.start_delay" -> "periodic maintenance starts with --maintenance-interval-sec",
+    "database.url" -> "targets are lake tables under --targets-root",
+    "database.origin" -> "", "database.schema" -> "",
+    "app.num_workers" -> "parallelism comes from --master / --shuffle-partitions",
+    "app.map_database" -> "use --map-file; the config-DB JSON export loads too",
+    "app.default_schema" -> "schema-qualified routing lives in the map file")
+  private val refNoAnalogPrefixes = Seq("logs.", "cors.")
+
+  /** Translate a reference-shape sectioned settings file (the TOML the
+    * reference ships, `streamer/config.go:17-108`) into the engine's flat
+    * key space, so `kuvasz-streamer.toml` loads verbatim:
+    *
+    *   - `app.map_file` -> map_file (the map itself also loads in the
+    *     reference's own `map.yaml` shape — MapConfig);
+    *   - `auth.jwt_key` -> jwt_key; `server.address` (":8000") ->
+    *     admin_port (the reference serves its API on the one server);
+    *   - `app.commit_delay` (seconds, float) -> trigger_ms;
+    *   - `app.sync_rate` / `app.sync_burst` -> sync_rate / sync_burst
+    *     (the full-sync token bucket, Knobs.syncRateRows);
+    *   - known no-analog reference keys: accepted with a stderr note;
+    *   - anything else fails loudly (same typo policy as every layer).
+    *
+    * Engine-native flat keys may appear before the first table header and
+    * pass through, so a file can carry both. */
+  private[config] def translateReference(raw: Map[String, String],
+                                         path: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    raw.foreach { case (k, v) =>
+      k match {
+        case "app.map_file" => out += "map_file" -> v
+        case "auth.jwt_key" => if (v.nonEmpty) out += "jwt_key" -> v
+        case "app.sync_rate" =>
+          out += "sync_rate" -> math.round(v.toDouble).toString
+        case "app.sync_burst" =>
+          out += "sync_burst" -> math.round(v.toDouble).toString
+        case "app.commit_delay" =>
+          out += "trigger_ms" -> math.round(v.toDouble * 1000).toString
+        case "server.address" =>
+          val port = v.substring(v.lastIndexOf(':') + 1)
+          if (!port.matches("[0-9]+"))
+            throw new IllegalArgumentException(
+              s"$path: server.address '$v' has no numeric port")
+          out += "admin_port" -> port
+          System.err.println("[config] note: server.address maps to the " +
+            "admin API port; the Prometheus endpoint is separate " +
+            "(--metrics-port)")
+        case flat if !flat.contains('.') && keys.contains(flat) =>
+          out += flat -> v
+        case other if refNoAnalog.contains(other) ||
+            refNoAnalogPrefixes.exists(other.startsWith) =>
+          val hint = refNoAnalog.getOrElse(other, "")
+          System.err.println(s"[config] note: reference key '$other' has " +
+            "no engine analog" + (if (hint.nonEmpty) s" — $hint" else ""))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$path: unknown settings key '$other'")
       }
     }
     out.result()

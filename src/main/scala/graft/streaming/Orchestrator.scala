@@ -149,7 +149,17 @@ object Orchestrator {
             var didSync = false
             if (!r.lake.snapshot().properties.contains(prop))
               backfill(r.mapping.sourceTable, u.sid).foreach { src =>
-                Backfill.initialSync(r.lake, src, sid = Some(u.sid), propKey = prop)
+                // full-sync token bucket (reference app.sync_rate/sync_burst
+                // via ProcessConfig -> Knobs): paced, crash-resumable chunks
+                // so a 100 TB initial sync cannot monopolize the cluster
+                val pacing =
+                  if (graft.config.Knobs.syncRateRows > 0)
+                    Some(Backfill.Pacing(
+                      maxRowsPerCommit = graft.config.Knobs.syncBurstRows,
+                      rowsPerSec = Some(graft.config.Knobs.syncRateRows)))
+                  else None
+                Backfill.initialSync(r.lake, src, sid = Some(u.sid),
+                  propKey = prop, pacing = pacing)
                 didSync = true
               }
             // signatures full-sync analog: covers (a) "signatures": true

@@ -50,10 +50,24 @@ class OrchestratorSpec extends AnyFunSuite {
     val specs = Map("transcripts" ->
       Transcripts.spec(numBuckets = 4, hasSid = true).copy(schema = sidSchema))
 
-    Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
+    // serve-path pacing: the published sync_rate/sync_burst knobs must
+    // reach Backfill.initialSync (reference app.sync_rate token bucket) —
+    // burst 2 on 5 rows/tenant forces multiple chunked commits
+    val (rate0, burst0) = (graft.config.Knobs.syncRateRows,
+      graft.config.Knobs.syncBurstRows)
+    graft.config.Knobs.syncRateRows = 1000000L
+    graft.config.Knobs.syncBurstRows = 2L
+    try Orchestrator.runAvailable(spark, s"$dir/map.json", s"$dir/targets",
       specs, s"$dir/ckpt", backfill)
+    finally {
+      graft.config.Knobs.syncRateRows = rate0
+      graft.config.Knobs.syncBurstRows = burst0
+    }
 
     val lake = LakeTable.load(spark, s"$dir/targets/transcripts")
+    assert(lake.snapshot().properties
+      .get("full-sync-s0-chunks-done").exists(_.toInt >= 2),
+      "paced initial sync must commit in multiple bucket-group chunks")
     val rows1 = lake.read().count()
     // backfill rows present, once, per tenant, with the CONFIG sid
     val bf = lake.read().filter(col("conv_id").startsWith("bf-"))
