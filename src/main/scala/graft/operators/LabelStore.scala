@@ -138,7 +138,7 @@ object LabelStore {
       //    the verify side
       val touchedSigs = sigsNow.join(broadcast(touched), Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newPairs = TextPipeline.signatureAgreementPairs(
+      val newPairs = TextPipeline.agreementPairsAgainst(
         sigsNow, touchedSigs, "labels_ingest")
       val next = TextPipeline.clustersAgainstLabels(spark, afterDel, newPairs)
       lap("merge-kernel")

@@ -627,13 +627,32 @@ ORDER BY l.doc_id"""
   // corpus text, never a from-scratch CC.
   // ---------------------------------------------------------------------
 
-  /** Candidate + signature-agreement verified pairs between a signature
-    * table (corpus ∪ delta) and the delta's signatures — the D5 predicate
-    * (match_cnt >= IncMinMatch) emitted as a symmetric (a, b) pair set;
-    * `a < b` dedups the delta-delta half. No text on either side. */
+  /** Candidate + signature-agreement verified pairs of a signature table
+    * against ITSELF — the D5 predicate (match_cnt >= IncMinMatch) emitted
+    * as an (a, b) pair set with `a < b` deduping the mirror half. No text
+    * on either side. ONLY sound when left == right: with a proper-subset
+    * right side the `a < b` filter DROPS every pair whose right-side doc
+    * sorts first (use [[agreementPairsAgainst]] for delta-vs-all). */
   private[operators] def signatureAgreementPairs(left: DataFrame, right: DataFrame,
                                       opLabel: String): DataFrame =
     sigAgreement(left, right, opLabel, symmetric = true).select("a", "b")
+
+  /** D5 agreement pairs of a DELTA against the full signature table it
+    * belongs to (all ⊇ delta) — every (delta, other) agreeing pair
+    * REGARDLESS of id order. The symmetric entry's `a < b` dedup silently
+    * drops pairs where the delta doc sorts before its untouched partner
+    * (a low-id doc edited into a cluster of higher-id docs would stay a
+    * singleton); here the asymmetric join keeps both orientations and the
+    * pair set is normalized to a < b afterwards. Self-pairs excluded;
+    * delta-delta pairs land once. O(candidate pairs) extra dedup work on
+    * an already-tiny frame. */
+  private[operators] def agreementPairsAgainst(all: DataFrame, delta: DataFrame,
+                                      opLabel: String): DataFrame =
+    sigAgreement(all, delta, opLabel, symmetric = false)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
 
   /** THE D5 signature-agreement predicate — the single definition every
     * incremental-dedup/clustering path speaks (a divergence here would
@@ -844,7 +863,7 @@ ORDER BY l.doc_id"""
       .select(corpusSigs.columns.map(col).toSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newPairs = signatureAgreementPairs(
+      val newPairs = agreementPairsAgainst(
         corpusSigs.unionAll(deltaSigs), deltaSigs, "dedup_clusters_incremental")
       clusterFrame(spark, dir, clustersAgainstLabels(spark, labels0, newPairs))
     } finally deltaSigs.unpersist(blocking = false)

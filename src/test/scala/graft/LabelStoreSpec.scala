@@ -102,6 +102,36 @@ class LabelStoreSpec extends AnyFunSuite {
     invariant()
   }
 
+  test("cluster migration of the lexicographically-SMALLEST doc merges") {
+    // regression: the merge kernel pairs touched docs against the whole
+    // signature table; a symmetric (a < b)-deduped agreement join DROPS
+    // every (touched, untouched) pair where the touched doc sorts FIRST —
+    // so editing doc "1" into a cluster of untouched docs "5","9" left it
+    // a singleton (hidden in other fixtures because deltas sorted last or
+    // never changed cluster)
+    val dir = SparkTestBase.tmpDir("lblmin")
+    val docs = LakeTable.create(spark, s"$dir/docs", docSpec)
+    val sig = LakeTable.create(spark, s"$dir/sigs", SignatureStore.spec())
+    val lbl = LakeTable.create(spark, s"$dir/labels", LabelStore.spec())
+    def txt(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    def apply(b: Long, evs: Seq[ChangeEvent]): Unit = {
+      graft.operators.Replay.applyBatch(docs, evs.toDS(), mapping, b)
+      SignatureStore.applyBatch(sig, evs.toDS(), mapping, docs, batchId = b)
+      LabelStore.applyBatch(lbl, sig, evs.toDS(), mapping, docs, batchId = b)
+    }
+    apply(0, Seq(iEv(1, 1, txt("solo")), iEv(2, 5, txt("grp")),
+      iEv(3, 9, txt("grp"))))
+    assert(labelRows(lbl) == Map("5" -> "5", "9" -> "5"))
+    apply(1, Seq(uEv(10, 1, Map("text" -> txt("grp")))))
+    assert(labelRows(lbl) == Map("1" -> "1", "5" -> "1", "9" -> "1"),
+      "the touched doc must merge even when it sorts before every " +
+        "untouched member of its new cluster")
+    // and the invariant check agrees with a from-scratch rebuild
+    val fresh = LakeTable.create(spark, s"$dir/check", LabelStore.spec())
+    assert(LabelStore.bootstrap(fresh, sig))
+    assert(labelRows(fresh) == labelRows(lbl))
+  }
+
   test("map-file opt-in: \"labels\": true maintains the cluster companion") {
     import java.nio.file.{Files, Paths}
     val dir = SparkTestBase.tmpDir("lblmap")
