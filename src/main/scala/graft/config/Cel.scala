@@ -547,6 +547,8 @@ object Cel {
         case "<" | "<=" | ">" | ">=" => s"($el $op $er)"
         case "in" =>
           (r, kindOf(r, env)) match {
+            // `x in []` is valid CEL (false); `IN ()` is invalid SQL
+            case (NList(Nil, _), _) => "(FALSE)"
             case (NList(items, _), _) =>
               s"($el IN (${items.map(emit(_, env)).mkString(", ")}))"
             case (_, KMap) => s"map_contains_key($er, $el)"
@@ -694,6 +696,11 @@ object Cel {
               if (args.length == 1) s"(instr($r, ${a(0)}) - 1)"
               else s"(locate(${a(0)}, $r, ${plus1(args(1), env)}) - 1)"
             case "lastIndexOf" =>
+              // the optional-offset form must FAIL, not silently search the
+              // whole string (the file's no-silent-mistranslation policy)
+              if (args.length > 1)
+                err("lastIndexOf with an offset is not supported " +
+                  "(the offset-free form searches the whole string)", c)
               val sub = a(0)
               val loc = s"locate(reverse($sub), reverse($r))"
               s"(if($loc = 0, -1, length($r) - $loc + 2 - length($sub) - 1))"
@@ -845,7 +852,11 @@ object Cel {
       }.sum
       if (matched != s.length || s.isEmpty)
         throw new CelError(s"cannot parse duration '$s'", at.pos)
-      s"make_interval(0, 0, 0, 0, ${fmt(h)}, ${fmt(m)}, ${fmt(sec)})"
+      // everything folds into the SECS argument: make_interval's hour/min
+      // parameters are INT, so a fractional "1.5h" passed there would be
+      // silently truncated (ANSI off) or fail at runtime (ANSI on); secs
+      // is DECIMAL and carries the full value exactly
+      s"make_interval(0, 0, 0, 0, 0, 0, ${fmt(h * 3600.0 + m * 60.0 + sec)})"
     }
     private def fmt(d: Double): String =
       if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString

@@ -134,7 +134,7 @@ object ProcessConfig {
       "GRAFT_ZONE_STATS", "GRAFT_CALIBRATE",
       "GRAFT_MASTER", "GRAFT_AQE", "GRAFT_WORK_BASE", "GRAFT_PLANS_FULL",
       "GRAFT_SALTS", "GRAFT_CC_COLLECT_CAP", "GRAFT_CC_DEBUG",
-      "GRAFT_BOILER_DF")
+      "GRAFT_BOILER_DF", "GRAFT_PACK_BLOCKS")
     // renamed/retired knobs: still recognized (no "unrecognized" warning,
     // which would be misleading) but called out explicitly — a deployment
     // still setting the old name gets neither effect nor silence

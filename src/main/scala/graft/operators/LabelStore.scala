@@ -61,6 +61,9 @@ object LabelStore {
                 force: Boolean = false): Boolean = {
     val lsnap = labels.snapshot()
     if (!force && lsnap.properties.contains("labels-bootstrap")) return false
+    // every result lands in the lake before return — the kernels' temp
+    // parquet must not outlive the call (the ingest loop runs forever)
+    TextPipeline.scopedTmp {
     val ssnap = sig.snapshot()
     val sigs = sigCols(sig.read())
     val lbl = TextPipeline.propagateLabels(sigs.sparkSession,
@@ -73,6 +76,7 @@ object LabelStore {
       lsnap.files.map(_.path).toSet,
       properties = Map("labels-bootstrap" -> ssnap.version.toString))
     true
+    }
   }
 
   /** Fold one applied micro-batch into the label table. MUST run after
@@ -87,7 +91,11 @@ object LabelStore {
     val lsnap0 = labels.snapshot()
     val committed = lsnap0.properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false
-
+    // scope the kernels' temp parquet to this batch: everything lands in
+    // the label lake before return, and the ingest loop calls this once
+    // per micro-batch — without the scope, temp dirs accumulate until
+    // JVM exit on a long-running orchestrator
+    TextPipeline.scopedTmp {
     val timing = sys.env.get("GRAFT_TIMING").contains("1")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (timing) {
@@ -184,5 +192,6 @@ object LabelStore {
         true
       } finally diff.unpersist(blocking = false)
     } finally touched.unpersist(blocking = false)
+    }
   }
 }

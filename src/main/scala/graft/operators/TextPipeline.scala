@@ -298,12 +298,38 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   // on JVM exit (one shutdown hook, dirs accumulated)
   private val tmpLakes = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private lazy val tmpLakeHook: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => tmpLakes.forEach { p =>
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-      }
-      rm(p.toFile)
-    }))
+    new Thread(() => tmpLakes.forEach(p => rmTree(p.toFile))))
+  private def rmTree(x: java.io.File): Unit = {
+    if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rmTree))
+    x.delete()
+  }
+
+  /** Temp-artifact scope for STEADY-STATE callers: every temp dir the
+    * clustering kernels create inside `f` (on this thread) is deleted when
+    * `f` returns. The CDC ingest loop invokes the kernels once per
+    * MICRO-BATCH — without a scope, each batch would leave its pairs/labels
+    * parquet in the tmp dir until JVM exit (unbounded for a long-running
+    * orchestrator). The caller must LAND every result inside `f` (the
+    * label store commits to its lake table before returning); the
+    * driver-contract entries return frames that still read their temp dirs
+    * and correctly keep the shutdown-hook lifetime by not using a scope. */
+  private val tmpScope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[java.nio.file.Path]]()
+  private[operators] def scopedTmp[T](f: => T): T = {
+    val outer = tmpScope.get()
+    val mine = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    tmpScope.set(mine)
+    try f
+    finally {
+      tmpScope.set(outer)
+      mine.foreach { p => tmpLakes.remove(p); rmTree(p.toFile) }
+    }
+  }
+  private def registerTmp(art: java.nio.file.Path): Unit = {
+    tmpLakeHook
+    tmpLakes.add(art)
+    Option(tmpScope.get()).foreach(_ += art)
+  }
 
   /** One-time ingest phase for the driver-contract entries: scan the
     * corpus text ONCE and materialize its signatures (MinHash + SimHash,
@@ -471,9 +497,8 @@ ORDER BY corpus_id, new_id"""
     * PAIR-INVOLVED vertices only, landed as a (tiny) parquet artifact so
     * the returned frame pins no cache blocks. */
   def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
-    tmpLakeHook
     val art = java.nio.file.Files.createTempDirectory("graft-clusters")
-    tmpLakes.add(art)
+    registerTmp(art)
     // LINEAGE CUT, twice — the non-negotiable part of iterative Spark:
     // (1) the incoming pair graph's producing DAG can be arbitrarily large
     // (band joins over text-derived signatures), and (2) `labels` appears
@@ -730,9 +755,8 @@ ORDER BY l.doc_id"""
       // land the updated label table (the production analog writes it back
       // to the label LAKE table) so downstream consumers — clusterFrame
       // reads it twice — do not re-execute the whole fold per reference
-      tmpLakeHook
       val art = java.nio.file.Files.createTempDirectory("graft-labels")
-      tmpLakes.add(art)
+      registerTmp(art)
       relabeled.unionAll(fresh).write.parquet(s"$art/labels.parquet")
       roots.unpersist(blocking = false)
       spark.read.parquet(s"$art/labels.parquet")

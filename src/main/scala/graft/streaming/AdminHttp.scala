@@ -253,7 +253,19 @@ object AdminHttp {
             m.databases.foreach { db =>
               checkName("db", db.name)
               db.urls.foreach(u => checkName("sid", u.sid))
-              MapConfig.mappings(db).foreach { mp => // also validates modes
+              // validate with the SAME kind hints the orchestrator's route
+              // build and boot validation use (target spec schema -> CEL
+              // column kinds): a hint-free check here would accept CEL
+              // that only fails to translate under hints, writing a map
+              // the next reload/boot then throws on
+              val mps = try MapConfig.mappings(db, (_, tgt) =>
+                  sourceSpec(tgt).map(s => MapConfig.kindsOf(s.schema))
+                    .getOrElse(Map.empty)) // also validates modes
+                catch {
+                  case e: HttpError => throw e
+                  case e: Exception => fail(400, "bad_map", e.getMessage)
+                }
+              mps.foreach { mp =>
                 checkName("table", mp.sourceTable)
                 checkName("target", mp.target)
                 MapConfig.signatureTarget(db, mp).foreach(checkName("target", _))

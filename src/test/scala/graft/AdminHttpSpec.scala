@@ -37,6 +37,35 @@ class AdminHttpSpec extends AnyFunSuite {
     p
   }
 
+  test("bulk map upload validates CEL under the SAME kind hints as boot") {
+    import graft.model.TableSpec
+    import org.apache.spark.sql.types._
+    val mapPath = freshMap("adminhints")
+    val spec = TableSpec("transcripts",
+      StructType(Seq(StructField("conv_id", StringType, nullable = false),
+        StructField("tags", ArrayType(StringType), nullable = true))),
+      keyCols = Seq("conv_id"), bucketCols = Seq("conv_id"), numBuckets = 4)
+    val srv = AdminHttp.start(spark, mapPath, s"${mapPath.getParent}/th",
+      sourceSpec = n => if (n == "transcripts") Some(spec) else None)
+    try {
+      val p = srv.port
+      val beforeMap = Files.readString(mapPath)
+      // `.substring` on a LIST-kind column errs only when kind hints flow
+      // into the CEL translation — a hint-free validation would accept
+      // this map, and the next orchestrator boot/reload would then throw
+      // on the exact same expression
+      val b =
+        """{"databases":[{"name":"app","urls":[],
+          |  "tables":{"transcripts":{"type":"clone","target":"transcripts",
+          |    "lang":"cel","filter":"tags.substring(0, 1) == \"a\""}}}]}""".stripMargin
+      val r = req(p, "PUT", "/api/map", b)
+      assert(r.statusCode() == 400, s"got ${r.statusCode()}: ${r.body()}")
+      assert(r.body().contains("slice"), r.body())
+      assert(Files.readString(mapPath) == beforeMap,
+        "the rejected map must not be written")
+    } finally srv.stop()
+  }
+
   test("config CRUD: validated, atomic, reload-visible") {
     val mapPath = freshMap("admin")
     val srv = AdminHttp.start(spark, mapPath, s"${mapPath.getParent}/targets")

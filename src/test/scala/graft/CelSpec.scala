@@ -196,6 +196,11 @@ class CelSpec extends AnyFunSuite {
     assert(eval("ts.getMinutes()") == 30)
     assert(eval("timestamp(\"2026-03-15T10:30:45Z\") == ts") == true)
     assert(eval("(ts + duration(\"1h30m\")).getHours()") == 12)
+    // fractional hours/minutes fold into make_interval's DECIMAL secs —
+    // the INT hour/min parameters would truncate 1.5h to 1h silently
+    assert(eval("(ts + duration(\"1.5h\")).getHours()") == 12)
+    assert(eval("(ts + duration(\"1.5h\")).getMinutes()") == 0)
+    assert(eval("(ts + duration(\"0.5m\")).getSeconds()") == 15)
     assert(eval("ts < now") == true)
   }
 
@@ -219,7 +224,13 @@ class CelSpec extends AnyFunSuite {
     bad("has(a.b)")
     bad("1 2") // trailing input
     bad("regex.replace(s, \"a\", \"b\", 1)") // count-limited replace
+    bad("s.lastIndexOf(\"o\", 5)") // offset form would silently search ALL
     intercept[Cel.CelError](Cel.translate("x > 1", Map("x" -> "jsonb")))
+  }
+
+  test("x in [] is FALSE, not the invalid SQL `IN ()`") {
+    assert(eval("event_type in []") == false)
+    assert(eval("!(event_type in [])") == true)
   }
 
   // ---- null semantics (SQL `= NULL` is always NULL — must be IS NULL)

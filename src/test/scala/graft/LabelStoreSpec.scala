@@ -132,6 +132,33 @@ class LabelStoreSpec extends AnyFunSuite {
     assert(labelRows(fresh) == labelRows(lbl))
   }
 
+  test("ingest-loop temp artifacts are batch-scoped, not JVM-lifetime") {
+    // the kernels land pairs/labels parquet in temp dirs; the CDC loop
+    // calls applyBatch once per micro-batch FOREVER, so those dirs must
+    // die with the batch (driver-contract entries keep returning frames
+    // that read their temp dirs and correctly use the exit-hook lifetime)
+    val dir = SparkTestBase.tmpDir("lbltmp")
+    val docs = LakeTable.create(spark, s"$dir/docs", docSpec)
+    val sig = LakeTable.create(spark, s"$dir/sigs", SignatureStore.spec())
+    val lbl = LakeTable.create(spark, s"$dir/labels", LabelStore.spec())
+    def txt(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    def kernelTmp(): Set[String] = {
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(t.list()).getOrElse(Array.empty)
+        .filter(n => n.startsWith("graft-clusters") ||
+          n.startsWith("graft-labels")).toSet
+    }
+    val before = kernelTmp()
+    val evs = Seq(iEv(1, 1, txt("aa")), iEv(2, 2, txt("aa")))
+    graft.operators.Replay.applyBatch(docs, evs.toDS(), mapping, 0)
+    SignatureStore.applyBatch(sig, evs.toDS(), mapping, docs, batchId = 0)
+    LabelStore.applyBatch(lbl, sig, evs.toDS(), mapping, docs, batchId = 0)
+    assert(labelRows(lbl) == Map("1" -> "1", "2" -> "1"),
+      "the batch must still fold correctly under the temp scope")
+    assert(kernelTmp() == before,
+      "applyBatch must not leave kernel temp dirs behind")
+  }
+
   test("map-file opt-in: \"labels\": true maintains the cluster companion") {
     import java.nio.file.{Files, Paths}
     val dir = SparkTestBase.tmpDir("lblmap")
