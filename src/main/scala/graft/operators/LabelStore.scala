@@ -131,36 +131,130 @@ object LabelStore {
       lap("touched-empty-check")
       val old = labels.read().select(col("doc_id"), col("cluster_id"))
       val sigsNow = sigCols(sig.read())
-      // 1. every touched doc's old edges die with its old signature.
-      //    PERSIST the result: the merge kernel references its label input
-      //    several times (endpoint semi, roots, relabel, fresh), and
-      //    afterDel is a live multi-join plan, not a landed table
-      val afterDel = TextPipeline.clustersAfterDeletes(
-        spark, old, sigsNow, touched)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lap("delete-kernel")
-      // 2. docs still present re-pair off their POST-commit signatures;
-      //    the touched set is batch-bounded, so the signature read prunes
-      //    to its buckets at scale (semi join on the bucketed key).
-      //    persisted: the agreement join references it once per band plus
-      //    the verify side
-      val touchedSigs = sigsNow.join(broadcast(touched), Seq("doc_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newPairs = TextPipeline.agreementPairsAgainst(
-        sigsNow, touchedSigs, "labels_ingest")
-      val next = TextPipeline.clustersAgainstLabels(spark, afterDel, newPairs)
-      lap("merge-kernel")
-      touchedSigs.unpersist(blocking = false)
-      afterDel.unpersist(blocking = false)
-
-      // changed rows only: the merge write must not rewrite untouched
-      // clusters (at 10^10 docs the label table itself is large)
-      val diff = old.as("o").join(next.as("n"), Seq("doc_id"), "full_outer")
-        .filter(!(col("o.cluster_id") <=> col("n.cluster_id")))
-        .select(col("doc_id"), col("n.cluster_id").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // batch-bounded lake lookup: "rows OF these docs" answered by a
+      // bucket- AND zone-PRUNED read (the same pruning the signature merge
+      // uses) followed by an exact semi join — O(touched FILES) per call,
+      // never a full corpus scan. The id set is batch-bounded, so
+      // collecting its bucket set + doc_id bounds is one tiny job.
+      def prunedRowsOf(lake: LakeTable, ids: DataFrame): DataFrame = {
+        val snap = lake.snapshot()
+        val st = ids.agg(
+          collect_set(pmod(xxhash64(col("doc_id")), lit(snap.numBuckets))
+            .cast("int")).as("bs"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+        val zones = Seq(graft.lake.Zone("doc_id",
+          lo = Option(st.getString(1)), hi = Option(st.getString(2))))
+        lake.read(buckets = Some(st.getSeq[Int](0).toSet), zones = zones)
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      }
+      def sigRowsOf(ids: DataFrame): DataFrame = sigCols(prunedRowsOf(sig, ids))
+      def labelRowsOf(ids: DataFrame): DataFrame =
+        prunedRowsOf(labels, ids).select(col("doc_id"), col("cluster_id"))
+      val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def pin(df: DataFrame): DataFrame = {
+        pinned += df
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       try {
-        lap("diff")
+
+      // The whole fold below is DELTA-form: both kernels CONSTRUCT the set
+      // of rows they change instead of materializing a full next-state
+      // label table and discovering the change set by a corpus×corpus
+      // FULL OUTER JOIN (which exchanges both sides — the one per-batch
+      // corpus SHUFFLE this replaces). Per batch the label table is only
+      // ever SCANNED (twice, broadcast-semi), the signature table is read
+      // pruned except the one inherent band probe, and every join/cache/
+      // temp artifact is O(batch ∪ touched clusters).
+
+      // Every frame below carries `oc` — the doc's CURRENT (pre-batch)
+      // label — alongside its proposed new label, so the final write-set
+      // is a pure filter (no re-read of the label table to diff against).
+
+      // ---- delete kernel, delta form: the only rows it can change are
+      // members (incl. the touched docs themselves) of old clusters
+      // containing a touched doc
+      val touchedCl = labelRowsOf(touched).select("cluster_id").distinct()
+      val oldMembers = pin(old
+        .join(broadcast(touchedCl), Seq("cluster_id"), "left_semi"))
+      // survivors re-pair off POST-commit signatures; a touched doc
+      // (deleted OR text-changed) leaves first — the merge kernel re-adds
+      // it off its new signature's pairs
+      val survivors = oldMembers
+        .join(broadcast(touched), Seq("doc_id"), "left_anti").select("doc_id")
+      val memberSigs = pin(sigRowsOf(survivors))
+      val sub = TextPipeline.propagateLabels(spark, TextPipeline
+        .signatureAgreementPairs(memberSigs, memberSigs, "labels_ingest_del"))
+      // every old member's post-delete row (oc = its pre-batch label);
+      // NULL cluster_id = removed (deleted, touched, or left pairless —
+      // absent docs read as singletons)
+      val delDelta = pin(oldMembers
+        .select(col("doc_id"), col("cluster_id").as("oc"))
+        .join(sub, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("cluster_id"), col("oc")))
+      lap("delete-kernel")
+
+      // ---- merge kernel, delta form: touched docs re-pair against the
+      // whole signature table (the band probe over sigsNow is the one
+      // inherent corpus-signature pass)
+      val touchedSigs = pin(sigRowsOf(touched))
+      val newPairs = pin(TextPipeline.agreementPairsAgainst(
+        sigsNow, touchedSigs, "labels_ingest"))
+      val ends = newPairs.select(col("a").as("doc_id"))
+        .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
+      // each endpoint's POST-DELETE root: its delete-kernel outcome when
+      // it was an old member (dl, with oc along), else its old label
+      // (pruned read), else itself
+      val endOld = labelRowsOf(ends).withColumnRenamed("cluster_id", "ol")
+      val roots = pin(ends
+        .join(delDelta.select(col("doc_id"), col("cluster_id").as("dl"),
+          col("oc").as("moc")), Seq("doc_id"), "left_outer")
+        .join(endOld, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          // moc non-null <=> the endpoint was an old member (oc of a label
+          // row is never null), so its post-delete label is dl
+          coalesce(when(col("moc").isNotNull, col("dl")).otherwise(col("ol")),
+            col("doc_id")).as("root"),
+          coalesce(col("moc"), col("ol")).as("oc")))
+      val rootEdges = newPairs
+        .join(roots.select(col("doc_id").as("a"), col("root").as("ra")), "a")
+        .join(roots.select(col("doc_id").as("b"), col("root").as("rb")), "b")
+        .select(col("ra").as("a"), col("rb").as("b"))
+        .filter(col("a") =!= col("b"))
+      // min-label fixpoint over the ROOT graph only (batch-bounded)
+      val rootMap = TextPipeline.propagateLabels(spark, rootEdges)
+        .select(col("doc_id").as("root"), col("cluster_id").as("new_cl"))
+      val changedRoots = rootMap.filter(col("root") =!= col("new_cl"))
+      // rows to relabel = post-delete members of merged roots: old rows
+      // outside the delete set (the second broadcast-semi label scan)
+      // plus delete-kernel outcomes that landed in a merged root
+      val chSet = changedRoots.select(col("root").as("cluster_id"))
+      val oldInChanged = old
+        .join(broadcast(chSet), Seq("cluster_id"), "left_semi")
+        .join(broadcast(delDelta.select("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("oc"))
+      val delInChanged = delDelta.filter(col("cluster_id").isNotNull)
+        .join(broadcast(chSet), Seq("cluster_id"), "left_semi")
+      val relabeled = oldInChanged.unionAll(delInChanged)
+        .join(broadcast(changedRoots), col("cluster_id") === col("root"))
+        .select(col("doc_id"), col("new_cl").as("cluster_id"), col("oc"))
+      // endpoints land at their (possibly remapped) root; overlapping
+      // rows between the two frames agree by construction
+      val endNew = roots.join(broadcast(rootMap), Seq("root"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("new_cl"), col("root")).as("cluster_id"), col("oc"))
+      val mergeRows = pin(endNew.unionAll(relabeled).dropDuplicates("doc_id"))
+      lap("merge-kernel")
+
+      // merge outcomes win over delete outcomes for the same doc; the
+      // write-set is then a pure new-vs-current filter, LANDED once (the
+      // fold's plan tree is deep and Catalyst re-plans the full tree per
+      // action — the write path below runs several)
+      val proposed = mergeRows.unionAll(delDelta
+        .join(broadcast(mergeRows.select("doc_id")), Seq("doc_id"), "left_anti"))
+      val diff = TextPipeline.landTmp(
+        proposed.filter(!(col("cluster_id") <=> col("oc")))
+          .select(col("doc_id"), col("cluster_id")), "graft-delta")
+      lap("diff")
         val lsnap = labels.snapshot()
         val bucketOf = pmod(xxhash64(col("doc_id")), lit(lsnap.numBuckets))
         val statRow = diff.agg(
@@ -190,7 +284,7 @@ object LabelStore {
           removed, properties = Map(epochKey -> batchId.toString))
         lap("merge-write")
         true
-      } finally diff.unpersist(blocking = false)
+      } finally pinned.foreach(_.unpersist(blocking = false))
     } finally touched.unpersist(blocking = false)
     }
   }

@@ -331,6 +331,20 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     Option(tmpScope.get()).foreach(_ += art)
   }
 
+  /** Land a (bounded) frame into a temp parquet dir and return the scan —
+    * a LINEAGE/PLAN CUT for deep single-batch plans: Catalyst re-analyzes
+    * the full logical tree on EVERY action, so a consumer running several
+    * actions over a many-join fold pays the planning cost each time;
+    * landing once makes each replan start from a constant-size scan leaf.
+    * The dir follows the caller's temp lifetime ([[scopedTmp]] if active,
+    * else the exit hook). */
+  private[operators] def landTmp(df: DataFrame, name: String): DataFrame = {
+    val art = java.nio.file.Files.createTempDirectory(name)
+    registerTmp(art)
+    df.write.parquet(s"$art/data.parquet")
+    df.sparkSession.read.parquet(s"$art/data.parquet")
+  }
+
   /** One-time ingest phase for the driver-contract entries: scan the
     * corpus text ONCE and materialize its signatures (MinHash + SimHash,
     * one row per doc) into a signatures LAKE table — the exact artifact
@@ -497,6 +511,44 @@ ORDER BY corpus_id, new_id"""
     * PAIR-INVOLVED vertices only, landed as a (tiny) parquet artifact so
     * the returned frame pins no cache blocks. */
   def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
+    // small-graph fast path: a pair set under the cap (the normal case for
+    // a per-BATCH root/pair graph — it is bounded by the batch, not the
+    // corpus) converges on the driver via min-rooted union-find in ONE job:
+    // a limit(cap+1) probe-collect decides the path AND delivers the rows,
+    // and the result returns as a LOCAL relation (batch-bounded, no lineage
+    // to cut, broadcast-joinable downstream — no parquet round-trip).
+    // Deterministic (union-by-min is order-independent) and type-generic
+    // (doc_id may be long or string — both Comparable). The overflow case
+    // recomputes the pair DAG once more into the parquet landing below —
+    // rare by construction (corpus-scale graphs) and paid only there.
+    val cap = graft.config.Knobs.ccCollectCap
+    val idType = pairsIn.schema.head.dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
+    if (cap > 0 && cap < Int.MaxValue) {
+      val probe = pairsIn.select(col("a"), col("b")).limit(cap.toInt + 1).collect()
+      if (probe.length <= cap) {
+        val parent = scala.collection.mutable.HashMap[Any, Any]()
+        def find(x0: Any): Any = {
+          var x = x0
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        @inline def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        probe.foreach { r =>
+          val (a, b) = (r.get(0), r.get(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+        val rows = parent.keys.toSeq.map(k =>
+          org.apache.spark.sql.Row(k, find(k)))
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(rows.asJava, outSchema)
+      }
+    }
     val art = java.nio.file.Files.createTempDirectory("graft-clusters")
     registerTmp(art)
     // LINEAGE CUT, twice — the non-negotiable part of iterative Spark:
@@ -511,41 +563,6 @@ ORDER BY corpus_id, new_id"""
     // to parquet makes every round replan from a constant-size scan leaf.
     pairsIn.select(col("a"), col("b")).write.parquet(s"$art/pairs.parquet")
     val pairs = spark.read.parquet(s"$art/pairs.parquet")
-    // small-graph fast path: a pair set under the cap (the normal case for
-    // a per-BATCH root/pair graph — it is bounded by the batch, not the
-    // corpus) converges on the driver in ONE collect via min-rooted
-    // union-find, replacing ~4 scheduler round-trips per propagation round
-    // with one job. Deterministic (union-by-min is order-independent) and
-    // type-generic (doc_id may be long or string — both Comparable). Above
-    // the cap — a corpus-scale graph — the distributed fixpoint below runs
-    // unchanged; the landed-parquet contract is identical either way.
-    if (pairs.count() <= graft.config.Knobs.ccCollectCap) {
-      val parent = scala.collection.mutable.HashMap[Any, Any]()
-      def find(x0: Any): Any = {
-        var x = x0
-        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-        x
-      }
-      @inline def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-      pairs.collect().foreach { r =>
-        val (a, b) = (r.get(0), r.get(1))
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          pairs.schema.head.dataType, nullable = false),
-        org.apache.spark.sql.types.StructField("cluster_id",
-          pairs.schema.head.dataType, nullable = false)))
-      val rows = parent.keys.toSeq.map(k =>
-        org.apache.spark.sql.Row(k, find(k)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-        .write.parquet(s"$art/labels-uf.parquet")
-      return spark.read.parquet(s"$art/labels-uf.parquet")
-    }
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -776,7 +793,8 @@ ORDER BY l.doc_id"""
     * singletons). Cost: O(members of touched clusters + their pairs) —
     * the delete-side mirror of [[clustersAgainstLabels]]'s merge bound. */
   def clustersAfterDeletes(spark: SparkSession, labels: DataFrame,
-                           sigs: DataFrame, deletedIn: DataFrame): DataFrame = {
+                           sigs: DataFrame, deletedIn: DataFrame,
+                           sigsOf: Option[DataFrame => DataFrame] = None): DataFrame = {
     // batch-bounded (the micro-batch's delete set) — broadcast both it and
     // everything derived from it so the corpus-sized label/signature
     // tables are only ever scanned, never shuffled
@@ -794,8 +812,13 @@ ORDER BY l.doc_id"""
       .join(broadcast(deleted), Seq("doc_id"), "left_anti")
       .select("doc_id")
     // the member signatures feed both sides of the agreement join (bands +
-    // verify: 4 subtree references) — materialize the tiny frame once
-    val memberSigs = sigs.join(broadcast(members), Seq("doc_id"), "left_semi")
+    // verify: 4 subtree references) — materialize the tiny frame once.
+    // `sigsOf` lets a lake-backed caller (LabelStore) answer "signatures
+    // OF these docs" with a bucket/zone-PRUNED read instead of this
+    // default full-scan semi join — at 10^10 docs the signature table is
+    // corpus-sized and the member set is batch-bounded
+    val memberSigs = sigsOf.map(_(members))
+      .getOrElse(sigs.join(broadcast(members), Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sub = propagateLabels(spark, signatureAgreementPairs(

@@ -146,7 +146,7 @@ class LabelStoreSpec extends AnyFunSuite {
       val t = new java.io.File(System.getProperty("java.io.tmpdir"))
       Option(t.list()).getOrElse(Array.empty)
         .filter(n => n.startsWith("graft-clusters") ||
-          n.startsWith("graft-labels")).toSet
+          n.startsWith("graft-labels") || n.startsWith("graft-delta")).toSet
     }
     val before = kernelTmp()
     val evs = Seq(iEv(1, 1, txt("aa")), iEv(2, 2, txt("aa")))
