@@ -675,7 +675,7 @@ ORDER BY l.doc_id"""
     * on either side. ONLY sound when left == right: with a proper-subset
     * right side the `a < b` filter DROPS every pair whose right-side doc
     * sorts first (use [[agreementPairsAgainst]] for delta-vs-all). */
-  private[operators] def signatureAgreementPairs(left: DataFrame, right: DataFrame,
+  private[graft] def signatureAgreementPairs(left: DataFrame, right: DataFrame,
                                       opLabel: String): DataFrame =
     sigAgreement(left, right, opLabel, symmetric = true).select("a", "b")
 
@@ -684,17 +684,42 @@ ORDER BY l.doc_id"""
     * REGARDLESS of id order. The symmetric entry's `a < b` dedup silently
     * drops pairs where the delta doc sorts before its untouched partner
     * (a low-id doc edited into a cluster of higher-id docs would stay a
-    * singleton); here the asymmetric join keeps both orientations and the
-    * pair set is normalized to a < b afterwards. Self-pairs excluded;
-    * delta-delta pairs land once. O(candidate pairs) extra dedup work on
-    * an already-tiny frame. */
-  private[operators] def agreementPairsAgainst(all: DataFrame, delta: DataFrame,
-                                      opLabel: String): DataFrame =
-    sigAgreement(all, delta, opLabel, symmetric = false)
+    * singleton); here both orientations are kept and the pair set is
+    * normalized to a < b afterwards. Self-pairs excluded; delta-delta
+    * pairs land once.
+    *
+    * Physical strategy: ONE pass over `all`. The delta side is
+    * batch-bounded (broadcast), so the minhashes ride THROUGH the band
+    * join and the agreement count verifies INLINE — no shuffle, and none
+    * of the two corpus re-scans the two-pass shape pays (candidates →
+    * re-join left → re-join right). The symmetric corpus×corpus entry
+    * keeps slim bands: there the band join SHUFFLES, and carrying 12 hash
+    * columns through that exchange is the wrong trade. A pair matching in
+    * k bands verifies k ≤ Bands times (arithmetic on in-row columns) and
+    * dedups in the final distinct — same output as the two-pass predicate
+    * (PipelineSpec asserts strategy equality). */
+  private[graft] def agreementPairsAgainst(all: DataFrame, delta: DataFrame,
+                                      opLabel: String): DataFrame = {
+    def bandsFull(sig: DataFrame, p: String): DataFrame =
+      (0 until Bands).map { b =>
+        sig.select(Seq(col("doc_id").as(s"${p}_id"),
+          lit(b).as(s"${p}_band"),
+          concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as(s"${p}_bk")) ++
+          (0 until MinhashK).map(k => col(s"h$k").as(s"${p}_h$k")): _*)
+      }.reduce(_ unionAll _)
+    Similarity.observeCandidates(opLabel,
+      bandsFull(all, "x").join(bandsFull(delta, "y"),
+        col("x_band") === col("y_band") && col("x_bk") === col("y_bk")),
+      struct(col("x_band"), col("x_bk")))
+      .withColumn("match_cnt", (0 until MinhashK).map(k =>
+        when(col(s"x_h$k") === col(s"y_h$k"), 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("match_cnt") >= IncMinMatch)
+      .select(col("x_id").as("a"), col("y_id").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+  }
 
   /** THE D5 signature-agreement predicate — the single definition every
     * incremental-dedup/clustering path speaks (a divergence here would

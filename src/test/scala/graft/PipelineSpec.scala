@@ -94,6 +94,33 @@ class PipelineSpec extends AnyFunSuite {
       "union-find fast path must match the distributed result")
   }
 
+  test("delta-vs-all agreement: inline-verify strategy equals the two-pass predicate") {
+    // the one-pass strategy (minhashes carried through the band join,
+    // verified inline) must emit exactly the pairs the symmetric two-pass
+    // predicate emits among pairs touching the delta — including the
+    // orientation a symmetric-on-(all, delta) call would drop (delta doc
+    // 1 sorts before its untouched partner 5)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def txt(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    val docs = Seq((1L, txt("ga")), (5L, txt("ga")), (9L, txt("gb")),
+      (12L, txt("gb")), (20L, txt("gc"))).toDF("doc_id", "text")
+    val sigs = graft.operators.SignatureStore.signaturesOf(docs)
+    val delta = sigs.filter(col("doc_id").isin(1L, 12L))
+    val inline = graft.operators.TextPipeline
+      .agreementPairsAgainst(sigs, delta, "t_inline")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaIds = Set(1L, 12L)
+    val twoPass = graft.operators.TextPipeline
+      .signatureAgreementPairs(sigs, sigs, "t_twopass")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(inline == twoPass, s"inline $inline vs two-pass $twoPass")
+    assert(inline.contains((1L, 5L)),
+      "the low-sorting delta doc's pair to its untouched partner must emit")
+    assert(inline.contains((9L, 12L)))
+  }
+
   test("near-dup clustering: transitive chains collapse to one canonical doc") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("clusters")
