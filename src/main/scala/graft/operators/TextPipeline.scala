@@ -699,7 +699,19 @@ ORDER BY l.doc_id"""
     * dedups in the final distinct — same output as the two-pass predicate
     * (PipelineSpec asserts strategy equality). */
   private[graft] def agreementPairsAgainst(all: DataFrame, delta: DataFrame,
-                                      opLabel: String): DataFrame = {
+                                      opLabel: String): DataFrame =
+    inlineAgreement(all, delta, opLabel)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+
+  /** The one-pass strategy's core: (a, b, match_cnt) for every agreeing
+    * (left, right) hit, one row per pair (per-band duplicates dropped —
+    * match_cnt is a function of the pair, so any duplicate carries the
+    * same value). */
+  private def inlineAgreement(left: DataFrame, right: DataFrame,
+                              opLabel: String): DataFrame = {
     def bandsFull(sig: DataFrame, p: String): DataFrame =
       (0 until Bands).map { b =>
         sig.select(Seq(col("doc_id").as(s"${p}_id"),
@@ -708,17 +720,14 @@ ORDER BY l.doc_id"""
           (0 until MinhashK).map(k => col(s"h$k").as(s"${p}_h$k")): _*)
       }.reduce(_ unionAll _)
     Similarity.observeCandidates(opLabel,
-      bandsFull(all, "x").join(bandsFull(delta, "y"),
+      bandsFull(left, "x").join(bandsFull(right, "y"),
         col("x_band") === col("y_band") && col("x_bk") === col("y_bk")),
       struct(col("x_band"), col("x_bk")))
       .withColumn("match_cnt", (0 until MinhashK).map(k =>
         when(col(s"x_h$k") === col(s"y_h$k"), 1L).otherwise(0L)).reduce(_ + _))
       .filter(col("match_cnt") >= IncMinMatch)
-      .select(col("x_id").as("a"), col("y_id").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+      .select(col("x_id").as("a"), col("y_id").as("b"), col("match_cnt"))
+      .dropDuplicates("a", "b")
   }
 
   /** THE D5 signature-agreement predicate — the single definition every
@@ -730,6 +739,10 @@ ORDER BY l.doc_id"""
     * (a, b, match_cnt). */
   private def sigAgreement(left: DataFrame, right: DataFrame, opLabel: String,
                            symmetric: Boolean): DataFrame = {
+    // asymmetric = delta-vs-corpus: the delta side is bounded and
+    // broadcast, so the one-pass inline strategy applies (one corpus scan
+    // instead of three — see agreementPairsAgainst's scaladoc)
+    if (!symmetric) return inlineAgreement(left, right, opLabel)
     val bandEq = col("x.band") === col("y.band") && col("x.bk") === col("y.bk")
     val joinCond = if (symmetric) bandEq && col("x.doc_id") < col("y.doc_id")
                    else bandEq
