@@ -10,27 +10,38 @@ import org.apache.spark.sql.types._
   * steady state, riding the same micro-batches as the signature companion
   * (SURVEY §2.7 X14b/X14c): as each applied batch upserts the signature
   * table, the label table (doc_id -> cluster_id, rows for dup-involved
-  * docs only; absence = singleton) folds forward by composing the two
-  * incremental kernels:
+  * docs only; absence = singleton) folds forward by composing two
+  * DELTA-FORM kernels inlined in [[applyBatch]] (the full-table analogs,
+  * [[TextPipeline.clustersAfterDeletes]] / [[TextPipeline.clustersAgainstLabels]],
+  * serve the driver-contract queries):
   *
-  *   1. [[TextPipeline.clustersAfterDeletes]] over every doc the batch
-  *      TOUCHED (deleted, inserted, or text-changed): a touched doc's OLD
-  *      edges die — deletion obviously, but a text update equally (its
-  *      pairs re-derive from the new signature) — so the clusters that
-  *      contained touched docs recompute over their remaining members.
-  *   2. [[TextPipeline.clustersAgainstLabels]] with the touched docs'
-  *      CURRENT pairs (band join + signature agreement of the post-commit
-  *      signature rows vs the whole signature table) merging them back in.
+  *   1. delete kernel, over every doc the batch TOUCHED (deleted,
+  *      inserted, or text-changed): a touched doc's OLD edges die —
+  *      deletion obviously, but a text update equally (its pairs
+  *      re-derive from the new signature) — so exactly the members of
+  *      clusters that contained touched docs recompute their labels over
+  *      the survivors' current signature pairs;
+  *   2. merge kernel, with the touched docs' CURRENT pairs (one-pass
+  *      inline band probe of the post-commit signature rows vs the whole
+  *      signature table): endpoint roots resolve from the delete delta +
+  *      pruned label lookups, the min-label fixpoint runs over the ROOT
+  *      graph only, and merged-root members relabel via broadcast-semi
+  *      label scans.
   *
-  * The composition preserves the one invariant the whole family speaks:
-  * labels == connected components over ALL current signature-agreement
-  * pairs (the D5 predicate) — however incrementally it got there.
+  * Both kernels emit (doc_id, new, old) rows, so the write-set is a pure
+  * new-vs-old filter — no full next-state table is materialized and no
+  * corpus-sized join runs. The composition preserves the one invariant
+  * the whole family speaks: labels == connected components over ALL
+  * current signature-agreement pairs (the D5 predicate) — however
+  * incrementally it got there (LabelStoreSpec re-derives it from scratch
+  * after every batch).
   *
-  * Per-batch cost: O(touched docs + members of touched clusters + one
-  * signature-table band scan) — the same order as the X13 dedup the
-  * signatures already pay per batch; corpus TEXT is never read. The write
-  * back into the label lake is a bucket- and zone-pruned merge of exactly
-  * the CHANGED label rows, mirroring `SignatureStore.applyBatch`.
+  * Per-batch corpus cost: TWO broadcast-semi label-table scans + ONE
+  * signature band probe (no shuffle, cache, or temp write of anything
+  * corpus-sized); all per-doc lookups are bucket- AND zone-pruned lake
+  * reads; corpus TEXT is never read. The write back into the label lake
+  * is a bucket- and zone-pruned merge of exactly the CHANGED label rows,
+  * mirroring `SignatureStore.applyBatch`.
   *
   * Exactly-once: the label table keeps its own `commit-epoch` on its own
   * snapshot — a crash between the signature commit and the label commit

@@ -508,26 +508,46 @@ ORDER BY corpus_id, new_id"""
     * (a, b) — the distributed connected-components kernel shared by the
     * full ([[dedupClusters]]) and incremental ([[clustersAgainstLabels]])
     * paths. Returns the converged (doc_id, cluster_id) frame for
-    * PAIR-INVOLVED vertices only, landed as a (tiny) parquet artifact so
-    * the returned frame pins no cache blocks. */
+    * PAIR-INVOLVED vertices only: a LOCAL relation (driver union-find)
+    * for graphs at or under [[graft.config.Knobs.ccCollectCap]] pairs —
+    * batch-bounded, so plans embedding it carry up to ~2·cap vertex rows
+    * — or a landed parquet scan (pins no cache blocks) for corpus-scale
+    * graphs. */
   def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
-    // small-graph fast path: a pair set under the cap (the normal case for
-    // a per-BATCH root/pair graph — it is bounded by the batch, not the
-    // corpus) converges on the driver via min-rooted union-find in ONE job:
-    // a limit(cap+1) probe-collect decides the path AND delivers the rows,
-    // and the result returns as a LOCAL relation (batch-bounded, no lineage
-    // to cut, broadcast-joinable downstream — no parquet round-trip).
-    // Deterministic (union-by-min is order-independent) and type-generic
-    // (doc_id may be long or string — both Comparable). The overflow case
-    // recomputes the pair DAG once more into the parquet landing below —
-    // rare by construction (corpus-scale graphs) and paid only there.
-    val cap = graft.config.Knobs.ccCollectCap
+    val art = java.nio.file.Files.createTempDirectory("graft-clusters")
+    registerTmp(art)
+    // LINEAGE CUT, twice — the non-negotiable part of iterative Spark:
+    // (1) the incoming pair graph's producing DAG can be arbitrarily large
+    // (band joins over text-derived signatures), and (2) `labels` appears
+    // twice per round, so a plan built on plans DOUBLES per round.
+    // Catalyst re-analyzes/re-optimizes the FULL logical tree on every
+    // action (cache substitution only happens at physical planning), so a
+    // persist alone leaves each round paying optimizer time exponential in
+    // the round number over the input DAG — measured 10 s/40 s for rounds
+    // 1/2 on a 90-edge graph. Landing pairs once and each round's labels
+    // to parquet makes every round replan from a constant-size scan leaf.
+    // The landing runs FIRST (the input DAG computes exactly once on
+    // either path); the probe below reads the landed file, so an
+    // over-cap graph never re-executes the DAG.
+    pairsIn.select(col("a"), col("b")).write.parquet(s"$art/pairs.parquet")
+    val pairs = spark.read.parquet(s"$art/pairs.parquet")
+    // small-graph fast path: a pair set at or under the cap (the normal
+    // case for a per-BATCH root/pair graph — bounded by the batch, not
+    // the corpus) converges on the driver via min-rooted union-find in
+    // one limit-probe collect of the landed file, and returns as a LOCAL
+    // relation (batch-bounded, no lineage to cut, broadcast-joinable
+    // downstream). Deterministic (union-by-min is order-independent) and
+    // type-generic (doc_id may be long or string — both Comparable).
+    // Caps at or above Int.MaxValue clamp (limit takes an Int; a >2G-row
+    // collect is impossible anyway), so a huge cap means "always fast
+    // path" as documented, never a silent fall-through.
+    val cap = math.min(graft.config.Knobs.ccCollectCap, Int.MaxValue - 1L)
     val idType = pairsIn.schema.head.dataType
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
       org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
-    if (cap > 0 && cap < Int.MaxValue) {
-      val probe = pairsIn.select(col("a"), col("b")).limit(cap.toInt + 1).collect()
+    if (cap > 0) {
+      val probe = pairs.limit(cap.toInt + 1).collect()
       if (probe.length <= cap) {
         val parent = scala.collection.mutable.HashMap[Any, Any]()
         def find(x0: Any): Any = {
@@ -549,20 +569,6 @@ ORDER BY corpus_id, new_id"""
         return spark.createDataFrame(rows.asJava, outSchema)
       }
     }
-    val art = java.nio.file.Files.createTempDirectory("graft-clusters")
-    registerTmp(art)
-    // LINEAGE CUT, twice — the non-negotiable part of iterative Spark:
-    // (1) the incoming pair graph's producing DAG can be arbitrarily large
-    // (band joins over text-derived signatures), and (2) `labels` appears
-    // twice per round, so a plan built on plans DOUBLES per round.
-    // Catalyst re-analyzes/re-optimizes the FULL logical tree on every
-    // action (cache substitution only happens at physical planning), so a
-    // persist alone leaves each round paying optimizer time exponential in
-    // the round number over the input DAG — measured 10 s/40 s for rounds
-    // 1/2 on a 90-edge graph. Landing pairs once and each round's labels
-    // to parquet makes every round replan from a constant-size scan leaf.
-    pairsIn.select(col("a"), col("b")).write.parquet(s"$art/pairs.parquet")
-    val pairs = spark.read.parquet(s"$art/pairs.parquet")
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -719,8 +725,13 @@ ORDER BY l.doc_id"""
           concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as(s"${p}_bk")) ++
           (0 until MinhashK).map(k => col(s"h$k").as(s"${p}_h$k")): _*)
       }.reduce(_ unionAll _)
+    // the right side is batch-bounded by contract — hint it EXPLICITLY:
+    // its plan (pruned lake scan + semi join) carries a file-size-based
+    // estimate that can exceed the auto-broadcast threshold at corpus
+    // scale, and a sort-merge fallback here would shuffle the entire
+    // corpus band frame carrying the 12 hash columns
     Similarity.observeCandidates(opLabel,
-      bandsFull(left, "x").join(bandsFull(right, "y"),
+      bandsFull(left, "x").join(broadcast(bandsFull(right, "y")),
         col("x_band") === col("y_band") && col("x_bk") === col("y_bk")),
       struct(col("x_band"), col("x_bk")))
       .withColumn("match_cnt", (0 until MinhashK).map(k =>
@@ -831,8 +842,7 @@ ORDER BY l.doc_id"""
     * singletons). Cost: O(members of touched clusters + their pairs) —
     * the delete-side mirror of [[clustersAgainstLabels]]'s merge bound. */
   def clustersAfterDeletes(spark: SparkSession, labels: DataFrame,
-                           sigs: DataFrame, deletedIn: DataFrame,
-                           sigsOf: Option[DataFrame => DataFrame] = None): DataFrame = {
+                           sigs: DataFrame, deletedIn: DataFrame): DataFrame = {
     // batch-bounded (the micro-batch's delete set) — broadcast both it and
     // everything derived from it so the corpus-sized label/signature
     // tables are only ever scanned, never shuffled
@@ -851,12 +861,11 @@ ORDER BY l.doc_id"""
       .select("doc_id")
     // the member signatures feed both sides of the agreement join (bands +
     // verify: 4 subtree references) — materialize the tiny frame once.
-    // `sigsOf` lets a lake-backed caller (LabelStore) answer "signatures
-    // OF these docs" with a bucket/zone-PRUNED read instead of this
-    // default full-scan semi join — at 10^10 docs the signature table is
-    // corpus-sized and the member set is batch-bounded
-    val memberSigs = sigsOf.map(_(members))
-      .getOrElse(sigs.join(broadcast(members), Seq("doc_id"), "left_semi"))
+    // (The per-batch ingest path does NOT come through here: LabelStore's
+    // delta-form fold answers "signatures OF these docs" with bucket/zone-
+    // pruned lake reads; this full-table entry serves the driver-contract
+    // queries, whose stand-in signature frames are query-local.)
+    val memberSigs = sigs.join(broadcast(members), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sub = propagateLabels(spark, signatureAgreementPairs(
