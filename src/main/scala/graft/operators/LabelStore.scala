@@ -99,6 +99,7 @@ object LabelStore {
                  docLake: LakeTable, textCol: String = "text",
                  batchId: Long, epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
+    Replay.tuneSession(spark)
     val lsnap0 = labels.snapshot()
     val committed = lsnap0.properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false

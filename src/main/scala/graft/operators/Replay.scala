@@ -32,13 +32,38 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
-  /** Phase timing to stderr when GRAFT_TIMING=1 (perf diagnosis). */
+  /** Session-level runtime tuning the engine depends on, applied once per
+    * session (idempotent, runtime-settable SQL confs only).
+    *
+    * canChangeCachedPlanOutputPartitioning: every merge path persists its
+    * batch-bounded fold (`mergeApply`'s xdf, the signature fold, the label
+    * kernels' pinned frames). With the flag off (Spark's default, kept for
+    * plan-stability of long-lived caches) the cached plan materializes at
+    * the static shuffle-partition count, so every downstream pass over a
+    * tiny cached fold pays a full-width stage of near-empty tasks; with it
+    * on, AQE right-sizes the cached layout from actual bytes — few
+    * partitions for a small micro-batch, full width for a large one. This
+    * is the scale-ADAPTIVE fix (the non-adaptive alternative, a fixed
+    * repartition(n) before persist, would be tuned to one host). */
+  private val tunedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private[graft] def tuneSession(spark: SparkSession): Unit =
+    if (tunedSessions.add(spark))
+      spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+
+  /** Phase timing to stderr when GRAFT_TIMING=1 (perf diagnosis). The
+    * label also becomes the Spark job description (thread-local, guide-
+    * style job labeling) so job-level listeners/UI attribute time. */
   private val timing = sys.env.get("GRAFT_TIMING").contains("1")
   @inline private def timed[T](label: String)(f: => T): T = {
     if (!timing) f
     else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      sc.setJobDescription(s"graft:$label")
       val t0 = System.nanoTime()
-      val r = f
+      val r = try f finally sc.setJobDescription(null)
       System.err.println(f"[timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
@@ -470,7 +495,13 @@ object Replay {
     val target = lake.read(buckets = Some(touched), zones = zones,
       zoneExemptBuckets = fragmented)
     val t = target.alias("t")
-    val x = xdf.alias("x")
+    // SHUFFLE_HASH hint on the batch side (guide §3.1): the folded delta is
+    // micro-batch-bounded, so building its per-partition hash table is safe,
+    // and the full-outer merge then skips BOTH sides' sorts (sort-merge was
+    // the planner default). Full-outer broadcast is not a thing, so the
+    // choice is SMJ vs SHJ; SHJ wins whenever one side is per-partition
+    // hashable — exactly the delta's contract.
+    val x = xdf.alias("x").hint("shuffle_hash")
     val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c"))
       .reduce(_ && _)
     val joined0 = t.join(x, joinCond, "full_outer")
@@ -615,6 +646,7 @@ object Replay {
                  epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
     import spark.implicits._
+    tuneSession(spark)
 
     val committed = lake.snapshot().properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false // already applied before a crash

@@ -116,6 +116,7 @@ object SignatureStore {
                  textCol: String = "text", batchId: Long,
                  epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
+    Replay.tuneSession(spark)
     val committed = sig.snapshot().properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false
 
@@ -177,7 +178,9 @@ object SignatureStore {
       val target = sig.read(buckets = Some(touched), zones = zones,
         zoneExemptBuckets = fragmented)
 
-      val j = target.alias("t").join(f.alias("x"),
+      // SHUFFLE_HASH on the batch-bounded fold (same rationale as the doc
+      // merge in Replay.mergeApply: skip both sort legs of the default SMJ)
+      val j = target.alias("t").join(f.alias("x").hint("shuffle_hash"),
         col("t.doc_id") <=> col("x.doc_id"), "full_outer")
       val fNull = col("x.presentKind").isNull
       val sigExists = col("t.doc_id").isNotNull

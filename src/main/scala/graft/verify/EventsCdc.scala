@@ -4,7 +4,7 @@ import graft.config.MapConfig
 import graft.lake.LakeTable
 import graft.model._
 import graft.operators.{History, Replay}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,36 +60,92 @@ object EventsCdc {
   /** Derive the CDC log. `sidMod` > 1 fans the key space over several
     * tenant sids (P4); `routed` scatters events over physical partition
     * names `events_p0..3` and sends `view` events to an unmatched table
-    * (R1 regex routing). */
+    * (R1 regex routing).
+    *
+    * Pure Catalyst expressions (no typed row-at-a-time map): the per-row
+    * closure + Map allocations of the original typed derivation ran
+    * interpreted and, worse, forced every downstream per-batch pass to
+    * deserialize whole rows and defeat parquet pushdown — with Column
+    * expressions the per-batch `lsn` range filter in [[replay]] pushes
+    * down to the events.parquet scan (`PushedFilters: [GreaterThanOrEqual
+    * (event_id, ...)]`), so each micro-batch scan reads only its row
+    * groups. The text encodings round-trip identically: long/double
+    * cast-to-string is Java `toString` semantics, and the timestamp
+    * pattern is the same `yyyy-MM-dd HH:mm:ss.SSSSSS`. */
   def derive(spark: SparkSession, dir: String, pkUpdate: Boolean = false,
              sidMod: Int = 1, routed: Boolean = false): Dataset[ChangeEvent] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/events.parquet").as[RawEvent].map { r =>
-      val full = Map(
-        "user_id" -> r.user_id.toString,
-        "event_type" -> r.event_type,
-        "value" -> r.value.toString,
-        "props" -> r.props,
-        "ts" -> r.ts.format(tsFmt))
-      val keyMap = Map("user_id" -> r.user_id.toString)
-      val sid = if (sidMod <= 1) "s0" else "s" + (r.user_id % sidMod)
-      val table =
-        if (!routed) "events"
-        else if (r.event_type == "view") "audit_log" // unmatched -> dropped
-        else "events_p" + (r.user_id % 4)
-      r.event_type match {
-        case "signup" =>
-          ChangeEvent(r.event_id, 0, "I", table, sid, "none", Map.empty, full)
-        case "error" =>
-          ChangeEvent(r.event_id, 0, "D", table, sid, "none", keyMap, Map.empty)
-        case "click" =>
-          ChangeEvent(r.event_id, 0, "U", table, sid, "none", Map.empty, full - "props")
-        case "purchase" if pkUpdate =>
-          ChangeEvent(r.event_id, 0, "U", table, sid, "K", keyMap,
-            full + ("user_id" -> (r.user_id + 1000).toString))
-        case _ => // view, purchase
-          ChangeEvent(r.event_id, 0, "U", table, sid, "none", Map.empty, full)
-      }
+    val et = col("event_type")
+    val uid = col("user_id")
+    val uidS = uid.cast(StringType)
+    val tsS = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val valS = col("value").cast(StringType)
+    def payload(userId: Column, withProps: Boolean): Column = {
+      val entries = Seq(lit("user_id"), userId, lit("event_type"), et,
+        lit("value"), valS) ++
+        (if (withProps) Seq(lit("props"), col("props")) else Nil) ++
+        Seq(lit("ts"), tsS)
+      map(entries: _*)
+    }
+    val emptyM = map().cast("map<string,string>")
+    val keyMap = map(lit("user_id"), uidS)
+    val sid = if (sidMod <= 1) lit("s0")
+      else concat(lit("s"), (uid % sidMod).cast(StringType))
+    val table =
+      if (!routed) lit("events")
+      else when(et === "view", lit("audit_log")) // unmatched -> dropped
+        .otherwise(concat(lit("events_p"), (uid % 4).cast(StringType)))
+    val isPkU = if (pkUpdate) et === "purchase" else lit(false)
+    spark.read.parquet(s"$dir/events.parquet").select(
+      col("event_id").as("lsn"),
+      lit(0).as("seq"),
+      when(et === "signup", "I").when(et === "error", "D").otherwise("U").as("op"),
+      table.as("source_table"),
+      sid.as("sid"),
+      when(isPkU, "K").otherwise("none").as("old_kind"),
+      when(et === "error" || isPkU, keyMap).otherwise(emptyM).as("before"),
+      when(et === "signup", payload(uidS, withProps = true))
+        .when(et === "error", emptyM)
+        .when(et === "click", payload(uidS, withProps = false))
+        .when(isPkU, payload((uid + 1000).cast(StringType), withProps = true))
+        .otherwise(payload(uidS, withProps = true)).as("after")
+    ).as[ChangeEvent]
+  }
+
+  /** Max event_id straight from the parquet footer statistics (exact for
+    * int64 columns) — replaces a per-query full-column aggregation job
+    * with a driver-side metadata read; falls back to the scan when stats
+    * are absent. */
+  private[graft] def maxEventId(spark: SparkSession, dir: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir, "events.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p))
+        graft.lake.LakeTable.listDir(p)(_.filter(
+          _.getFileName.toString.endsWith(".parquet")).toSeq)
+      else Seq(p)
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+        try r.getFooter.getBlocks.asScala.map { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == "event_id")
+            .getOrElse(throw new IllegalStateException("no event_id column"))
+          val st = cc.getStatistics
+          if (st == null || !st.hasNonNullValue)
+            throw new IllegalStateException("no event_id stats")
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+        }.max
+        finally r.close()
+      }.max
+    } catch {
+      case _: Exception => // unexpected layout: pay the scan
+        spark.read.parquet(s"$dir/events.parquet")
+          .agg(max("event_id")).head().getLong(0)
     }
   }
 
@@ -103,12 +159,11 @@ object EventsCdc {
     val events = derive(spark, dir, pkUpdate, sidMod, routed)
     val tmp = Files.createTempDirectory("graft-q").toString
     val lake = LakeTable.create(spark, s"$tmp/t", tspec)
-    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("event_id")).head().getLong(0)
+    val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / Batches + 1
     (0 until Batches).foreach { b =>
       val lo = b * per; val hi = lo + per
-      val batch = events.filter(e => e.lsn >= lo && e.lsn < hi)
+      val batch = events.filter(col("lsn") >= lo && col("lsn") < hi)
       if (mapping.mode == TableMode.History)
         History.applyBatch(lake, batch, mapping, b)
       else
@@ -336,14 +391,14 @@ object EventsCdc {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-map").toString
     val ev = derive(spark, dir, sidMod = 2)
-    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("event_id")).head().getLong(0)
+    val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / 2 + 1
     Seq("s0", "s1").foreach { s =>
-      val mine = ev.filter(e => e.sid == s).map(_.copy(sid = "wire-sid-ignored"))
+      val mine = ev.filter(col("sid") === s).toDF()
+        .withColumn("sid", lit("wire-sid-ignored"))
       (0 until 2).foreach { b =>
         val lo = b * per; val hi = lo + per
-        mine.filter(e => e.lsn >= lo && e.lsn < hi).toDF()
+        mine.filter(col("lsn") >= lo && col("lsn") < hi)
           .coalesce(1).write.parquet(f"$tmp/wal-$s/seg-$b%05d")
       }
     }
@@ -379,18 +434,20 @@ object EventsCdc {
     // the unchanged-TOAST wire shape flows through signatures unchanged);
     // the text is constant per user, so the folded final props value is
     // group text no matter which event wins the fold
-    val ev = derive(spark, dir).map { e =>
-      if (e.after.contains("props"))
-        e.copy(after = e.after + ("props" ->
-          s"g${e.after("user_id").toLong % 5} ".repeat(19).trim))
-      else e
-    }
-    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("event_id")).head().getLong(0)
+    val grpText = trim(repeat(concat(lit("g"),
+      (element_at(col("after"), "user_id").cast("long") % 5).cast("string"),
+      lit(" ")), 19))
+    val ev = derive(spark, dir).toDF().withColumn("after",
+      when(map_contains_key(col("after"), "props"),
+        map_concat(
+          map_filter(col("after"), (k, _) => k =!= "props"),
+          map(lit("props"), grpText)))
+        .otherwise(col("after")))
+    val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / 2 + 1
     (0 until 2).foreach { b =>
       val lo = b * per; val hi = lo + per
-      ev.filter(col("lsn") >= lo && col("lsn") < hi).toDF()
+      ev.filter(col("lsn") >= lo && col("lsn") < hi)
         .coalesce(1).write.parquet(f"$tmp/wal/seg-$b%05d")
     }
     val mapJson =
@@ -492,11 +549,10 @@ ORDER BY user_id"""
     val tmp = Files.createTempDirectory("graft-lin").toString
     val lake = LakeTable.create(spark, s"$tmp/t", spec())
     val mapping = TableMapping("events", "events_state")
-    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("event_id")).head().getLong(0)
+    val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / Batches + 1
     (0 until Batches).foreach { b =>
-      var batch = events.filter(e => e.lsn >= b * per && e.lsn < (b + 1) * per)
+      var batch = events.filter(col("lsn") >= b * per && col("lsn") < (b + 1) * per)
       if (b == 2) {
         // an R message makes this a multi-commit batch (schema evolution
         // commits before the merge) — the lineage rows must not care
@@ -542,12 +598,11 @@ ORDER BY user_id"""
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-state").toString
     val ev = derive(spark, dir)
-    val maxLsn = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("event_id")).head().getLong(0)
+    val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / Batches + 1
     (0 until Batches).foreach { b =>
       val lo = b * per; val hi = lo + per
-      ev.filter(e => e.lsn >= lo && e.lsn < hi).toDF()
+      ev.filter(col("lsn") >= lo && col("lsn") < hi).toDF()
         .coalesce(1).write.parquet(f"$tmp/wal/seg-$b%05d")
     }
     val src = spark.readStream.schema(ChangeEvent.schema)
