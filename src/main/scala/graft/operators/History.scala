@@ -53,9 +53,12 @@ object History {
     * ordered window finds each version's next closer (its kvsz_end /
     * soft-delete flag) and each key's FIRST closer (which ends the
     * target's pre-existing open versions). Returns (newVersions,
-    * closeInstructions) DataFrames with `key: array<string>` plus typed
-    * payload columns. */
-  private def foldDF(routed: DataFrame, mergeKey: Seq[String]): (DataFrame, DataFrame) = {
+    * closeInstructions, windowedOps) DataFrames with `key: array<string>`
+    * plus typed payload columns; `windowedOps` is PERSISTED (the fold is
+    * consumed by the touched-bucket probe AND the write — without it the
+    * whole window fold executed twice per batch) and must be unpersisted
+    * by the caller after the write. */
+  private def foldDF(routed: DataFrame, mergeKey: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
     def keyArr(src: Column): Column = array(mergeKey.map(c =>
       if (c == "sid") col("sid") else element_at(src, c)): _*)
     val ordBase = shiftleft(col("lsn"), 20) + col("seq") * 4
@@ -95,6 +98,7 @@ object History {
       struct(col("ord").as("o"), col("t").as("ct"),
         (col("kind") === "CD").as("cd")))
     val o = ops.withColumn("nx", min(closer).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val versions = o.filter(col("kind").isin("I", "V")).select(
       col("key"),
       when(col("kind") === "I", lit(KVSZ_T0)).otherwise(col("t")).as("kvsz_start"),
@@ -107,7 +111,7 @@ object History {
       .agg(min(struct(col("ord").as("o"), col("t").as("ct"),
         (col("kind") === "CD").as("cd"))).as("fc"))
       .select(col("key"), col("fc.ct").as("closeT"), col("fc.cd").as("closeDel"))
-    (versions, closes)
+    (versions, closes, o)
   }
 
   /** Apply one batch of events in history mode. Same idempotence and
@@ -117,6 +121,7 @@ object History {
                  epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
     import spark.implicits._
+    Replay.tuneSession(spark)
 
     if (batchId <= lake.snapshot().properties.getOrElse(epochKey, "-1").toLong)
       return false
@@ -162,7 +167,8 @@ object History {
         return true
       }
 
-      val (versions, closes0) = foldDF(routed.toDF(), mergeKey)
+      val (versions, closes0, foldedOps) = foldDF(routed.toDF(), mergeKey)
+      try {
       val newTyped = versions.select(schema.fields.map { f =>
         f.name match {
           case "kvsz_start" => col("kvsz_start").cast(TimestampType).as(f.name)
@@ -180,8 +186,10 @@ object History {
         } ++ Seq(col("closeT").cast(TimestampType).as("__closeT"),
           col("closeDel").as("__closeDel"))): _*)
 
-      val allKeysB = versions.select(col("key"))
-        .unionAll(closes0.select(col("key"))).distinct()
+      // every op row is either a version or a closer, so the touched key
+      // set is ONE distinct over the persisted fold (the union of the two
+      // projections re-derived both sides)
+      val allKeysB = foldedOps.select(col("key")).distinct()
         .select(
           mergeKey.zipWithIndex.map { case (c, i) =>
             element_at(col("key"), i + 1).cast(schema(c).dataType).as(s"__k_$c")
@@ -204,7 +212,10 @@ object History {
       // registered there never sees the write (which executes on the lake's
       // session) — two separate observations deadlocked on exactly that.
       val closing = col("x.__closeT").isNotNull && isOpen
-      val updatedTarget = target.join(cdf.alias("x"), joinCond, "left_outer")
+      // SHUFFLE_HASH on the batch-bounded close-instruction side (same
+      // rationale as Replay.mergeApply: skip both sort legs of the SMJ)
+      val updatedTarget = target.join(cdf.alias("x").hint("shuffle_hash"),
+          joinCond, "left_outer")
         .select(schema.fields.map { f =>
           f.name match {
             case "kvsz_end" =>
@@ -264,6 +275,7 @@ object History {
             snap0.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
         lineage = lin)
       true
+      } finally foldedOps.unpersist(blocking = false)
     }
   }
 }

@@ -135,33 +135,44 @@ object LabelStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       lap("touched-set")
-      if (touched.isEmpty) {
+      // ONE stats pass over the batch-bounded id set: emptiness check,
+      // RAW doc_id hashes (per-lake buckets derive on the driver, so the
+      // label and signature lakes share the same job even with different
+      // bucket counts) and zone bounds — where the previous shape paid an
+      // isEmpty job plus one stats job per pruned lookup of the same set.
+      final case class IdStats(n: Long, hashes: Seq[Long], lo: String, hi: String)
+      def statsOf(ids: DataFrame): IdStats = {
+        val st = ids.agg(count(lit(1)).as("n"),
+          collect_set(xxhash64(col("doc_id"))).as("hs"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+        IdStats(st.getLong(0), st.getSeq[Long](1), st.getString(2), st.getString(3))
+      }
+      val tStats = statsOf(touched)
+      if (tStats.n == 0L) {
         labels.commit(Nil, Set.empty,
           properties = Map(epochKey -> batchId.toString))
         return true
       }
-      lap("touched-empty-check")
+      lap("touched-stats")
       val old = labels.read().select(col("doc_id"), col("cluster_id"))
       val sigsNow = sigCols(sig.read())
       // batch-bounded lake lookup: "rows OF these docs" answered by a
       // bucket- AND zone-PRUNED read (the same pruning the signature merge
       // uses) followed by an exact semi join — O(touched FILES) per call,
-      // never a full corpus scan. The id set is batch-bounded, so
-      // collecting its bucket set + doc_id bounds is one tiny job.
-      def prunedRowsOf(lake: LakeTable, ids: DataFrame): DataFrame = {
+      // never a full corpus scan.
+      def prunedRowsOf(lake: LakeTable, ids: DataFrame, st: IdStats): DataFrame = {
         val snap = lake.snapshot()
-        val st = ids.agg(
-          collect_set(pmod(xxhash64(col("doc_id")), lit(snap.numBuckets))
-            .cast("int")).as("bs"),
-          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
         val zones = Seq(graft.lake.Zone("doc_id",
-          lo = Option(st.getString(1)), hi = Option(st.getString(2))))
-        lake.read(buckets = Some(st.getSeq[Int](0).toSet), zones = zones)
+          lo = Option(st.lo), hi = Option(st.hi)))
+        val buckets = st.hashes
+          .map(h => java.lang.Math.floorMod(h, snap.numBuckets)).toSet
+        lake.read(buckets = Some(buckets), zones = zones)
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
       }
-      def sigRowsOf(ids: DataFrame): DataFrame = sigCols(prunedRowsOf(sig, ids))
-      def labelRowsOf(ids: DataFrame): DataFrame =
-        prunedRowsOf(labels, ids).select(col("doc_id"), col("cluster_id"))
+      def sigRowsOf(ids: DataFrame, st: IdStats): DataFrame =
+        sigCols(prunedRowsOf(sig, ids, st))
+      def labelRowsOf(ids: DataFrame, st: IdStats): DataFrame =
+        prunedRowsOf(labels, ids, st).select(col("doc_id"), col("cluster_id"))
       val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
       def pin(df: DataFrame): DataFrame = {
         pinned += df
@@ -185,7 +196,7 @@ object LabelStore {
       // ---- delete kernel, delta form: the only rows it can change are
       // members (incl. the touched docs themselves) of old clusters
       // containing a touched doc
-      val touchedCl = labelRowsOf(touched).select("cluster_id").distinct()
+      val touchedCl = labelRowsOf(touched, tStats).select("cluster_id").distinct()
       val oldMembers = pin(old
         .join(broadcast(touchedCl), Seq("cluster_id"), "left_semi"))
       // survivors re-pair off POST-commit signatures; a touched doc
@@ -193,30 +204,39 @@ object LabelStore {
       // it off its new signature's pairs
       val survivors = oldMembers
         .join(broadcast(touched), Seq("doc_id"), "left_anti").select("doc_id")
-      val memberSigs = pin(sigRowsOf(survivors))
+      val memberSigs = pin(sigRowsOf(survivors, statsOf(survivors)))
       val sub = TextPipeline.propagateLabels(spark, TextPipeline
-        .signatureAgreementPairs(memberSigs, memberSigs, "labels_ingest_del"))
+        .signatureAgreementPairs(memberSigs, memberSigs, "labels_ingest_del"),
+        bounded = true)
       // every old member's post-delete row (oc = its pre-batch label);
       // NULL cluster_id = removed (deleted, touched, or left pairless —
-      // absent docs read as singletons)
-      val delDelta = pin(oldMembers
+      // absent docs read as singletons). LANDED, not persisted: it is a
+      // batch-bounded hub frame referenced by four later actions, and a
+      // persist leaves every one of them re-PLANNING its full producing
+      // tree (label scan + CC + joins) — the land makes them replan from
+      // a constant-size scan leaf (same rationale as propagateLabels).
+      val delDelta = TextPipeline.landTmp(oldMembers
         .select(col("doc_id"), col("cluster_id").as("oc"))
         .join(sub, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("cluster_id"), col("oc")))
+        .select(col("doc_id"), col("cluster_id"), col("oc")), "graft-deldelta")
       lap("delete-kernel")
 
       // ---- merge kernel, delta form: touched docs re-pair against the
       // whole signature table (the band probe over sigsNow is the one
       // inherent corpus-signature pass)
-      val touchedSigs = pin(sigRowsOf(touched))
-      val newPairs = pin(TextPipeline.agreementPairsAgainst(
-        sigsNow, touchedSigs, "labels_ingest"))
+      val touchedSigs = pin(sigRowsOf(touched, tStats))
+      // landed for the same lineage-cut reason as delDelta: the band-probe
+      // tree (corpus signature scan + broadcast join) would otherwise be
+      // re-planned by every downstream action that references the pairs
+      val newPairs = TextPipeline.landTmp(TextPipeline.agreementPairsAgainst(
+        sigsNow, touchedSigs, "labels_ingest"), "graft-newpairs")
       val ends = newPairs.select(col("a").as("doc_id"))
         .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
       // each endpoint's POST-DELETE root: its delete-kernel outcome when
       // it was an old member (dl, with oc along), else its old label
       // (pruned read), else itself
-      val endOld = labelRowsOf(ends).withColumnRenamed("cluster_id", "ol")
+      val endOld = labelRowsOf(ends, statsOf(ends))
+        .withColumnRenamed("cluster_id", "ol")
       val roots = pin(ends
         .join(delDelta.select(col("doc_id"), col("cluster_id").as("dl"),
           col("oc").as("moc")), Seq("doc_id"), "left_outer")
@@ -233,7 +253,7 @@ object LabelStore {
         .select(col("ra").as("a"), col("rb").as("b"))
         .filter(col("a") =!= col("b"))
       // min-label fixpoint over the ROOT graph only (batch-bounded)
-      val rootMap = TextPipeline.propagateLabels(spark, rootEdges)
+      val rootMap = TextPipeline.propagateLabels(spark, rootEdges, bounded = true)
         .select(col("doc_id").as("root"), col("cluster_id").as("new_cl"))
       val changedRoots = rootMap.filter(col("root") =!= col("new_cl"))
       // rows to relabel = post-delete members of merged roots: old rows

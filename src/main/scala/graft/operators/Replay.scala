@@ -554,6 +554,7 @@ object Replay {
       pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
 
     val newFiles = timed("merge+write")(lake.writeDataFiles(withBucket, snap.currentSchemaId))
+    timed("commit") {
     // remove EXACTLY the files the target read scanned: a zone-pruned file
     // was neither read nor rewritten, so it must stay live in the snapshot
     val removed = lake.selectFiles(buckets = Some(touched), zones = zones,
@@ -578,6 +579,7 @@ object Replay {
             snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
       lineage = lineage)
     m
+    }
     } finally xdf.unpersist()
   }
 

@@ -132,10 +132,8 @@ object SignatureStore {
     val folded = Replay.foldToXfDF(
       Replay.normalizeDF(transformed.toDF(), mergeKey, appendMode),
       payloadCols = Seq(textCol))
-    if (folded.isEmpty) {
-      sig.commit(Nil, Set.empty, properties = Map(epochKey -> batchId.toString))
-      return true
-    }
+    // emptiness is read off the stats row below (empty bucket set) — a
+    // separate isEmpty probe would execute the whole fold a second time
     val f = folded.select(
       docIdCol((0 until mergeKey.length).map(i =>
         element_at(col("key"), i + 1))).as("doc_id"),
@@ -160,7 +158,13 @@ object SignatureStore {
       val statRow = f.agg(
         collect_set(bucketOf.cast("int")).as("bs"),
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
-        max(col("doc_id").isNull.cast("int")).as("nl")).head()
+        max(col("doc_id").isNull.cast("int")).as("nl"),
+        count(lit(1)).as("n")).head()
+      if (statRow.getLong(4) == 0L) { // empty fold: advance the epoch only
+        sig.commit(Nil, Set.empty,
+          properties = Map(epochKey -> batchId.toString))
+        return true
+      }
       val touched = statRow.getSeq[Int](0).toSet
       val zones: Seq[graft.lake.Zone] =
         if (touched.isEmpty || statRow.getInt(3) != 0) Nil

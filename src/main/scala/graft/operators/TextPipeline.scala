@@ -276,12 +276,13 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   }
 
   /** Band rows (doc_id, band, bk) derived from a signature table — pure
-    * column arithmetic on the signatures, no text. */
+    * column arithmetic on the signatures, no text. ONE scan: posexplode
+    * over the in-row array of band keys (the union-of-projections shape
+    * scanned the signature frame [[Bands]] times). */
   private def sigBands(sig: DataFrame): DataFrame =
-    (0 until Bands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as("bk"))
-    }.reduce(_ unionAll _)
+    sig.select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
+      concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*)): _*))
+      .as(Seq("band", "bk")))
 
   /** Dedup a new document batch against a PERSISTED corpus signature
     * table: band-join candidates, signature-agreement verify. The only
@@ -513,7 +514,68 @@ ORDER BY corpus_id, new_id"""
     * batch-bounded, so plans embedding it carry up to ~2·cap vertex rows
     * — or a landed parquet scan (pins no cache blocks) for corpus-scale
     * graphs. */
-  def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame = {
+  def propagateLabels(spark: SparkSession, pairsIn: DataFrame): DataFrame =
+    propagateLabels(spark, pairsIn, bounded = false)
+
+  /** @param bounded caller PROMISES the pair graph is batch-bounded (a
+    *                per-batch root/delta graph, never corpus-sized): the
+    *                small-graph fast path then probes `pairsIn` directly —
+    *                one CollectLimit job, no parquet land+re-read round
+    *                trip — falling back to the landed path only if the
+    *                probe overflows the cap. Unbounded (corpus-scale)
+    *                callers keep the land-first order so an over-cap graph
+    *                never executes its producing DAG twice. */
+  def propagateLabels(spark: SparkSession, pairsIn: DataFrame,
+                      bounded: Boolean): DataFrame = {
+    // small-graph fast path: a pair set at or under the cap (the normal
+    // case for a per-BATCH root/pair graph — bounded by the batch, not
+    // the corpus) converges on the driver via min-rooted union-find in
+    // one limit-probe collect, and returns as a LOCAL relation
+    // (batch-bounded, no lineage to cut, broadcast-joinable downstream).
+    // Deterministic (union-by-min is order-independent) and type-generic
+    // (doc_id may be long or string). String ids compare by UTF-8 BYTE
+    // order (UTF8String), matching Spark's binary ordering — the
+    // distributed path's `least`/`min` — so both paths elect the same
+    // canonical cluster_id for any id content (Java String.compareTo is
+    // UTF-16 code-unit order and disagrees for supplementary-plane
+    // characters). Caps at or above Int.MaxValue clamp (limit takes an
+    // Int; a >2G-row collect is impossible anyway), so a huge cap means
+    // "always fast path" as documented, never a silent fall-through.
+    val cap = math.min(graft.config.Knobs.ccCollectCap, Int.MaxValue - 1L)
+    val idType = pairsIn.schema.head.dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
+    def unionFind(probe: Array[org.apache.spark.sql.Row]): DataFrame = {
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      @inline def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(k =>
+        org.apache.spark.sql.Row(k, find(k)))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, outSchema)
+    }
+    if (bounded && cap > 0) {
+      // batch-bounded contract: probe the producing DAG directly — saves
+      // the land+re-read round trip on the per-micro-batch hot path
+      val probe = pairsIn.select(col("a"), col("b")).limit(cap.toInt + 1).collect()
+      if (probe.length <= cap) return unionFind(probe)
+    }
     val art = java.nio.file.Files.createTempDirectory("graft-clusters")
     registerTmp(art)
     // LINEAGE CUT, twice — the non-negotiable part of iterative Spark:
@@ -526,48 +588,14 @@ ORDER BY corpus_id, new_id"""
     // the round number over the input DAG — measured 10 s/40 s for rounds
     // 1/2 on a 90-edge graph. Landing pairs once and each round's labels
     // to parquet makes every round replan from a constant-size scan leaf.
-    // The landing runs FIRST (the input DAG computes exactly once on
-    // either path); the probe below reads the landed file, so an
-    // over-cap graph never re-executes the DAG.
+    // The landing runs FIRST for unbounded callers (the input DAG computes
+    // exactly once on either path); the probe below reads the landed file,
+    // so an over-cap corpus graph never re-executes the DAG.
     pairsIn.select(col("a"), col("b")).write.parquet(s"$art/pairs.parquet")
     val pairs = spark.read.parquet(s"$art/pairs.parquet")
-    // small-graph fast path: a pair set at or under the cap (the normal
-    // case for a per-BATCH root/pair graph — bounded by the batch, not
-    // the corpus) converges on the driver via min-rooted union-find in
-    // one limit-probe collect of the landed file, and returns as a LOCAL
-    // relation (batch-bounded, no lineage to cut, broadcast-joinable
-    // downstream). Deterministic (union-by-min is order-independent) and
-    // type-generic (doc_id may be long or string — both Comparable).
-    // Caps at or above Int.MaxValue clamp (limit takes an Int; a >2G-row
-    // collect is impossible anyway), so a huge cap means "always fast
-    // path" as documented, never a silent fall-through.
-    val cap = math.min(graft.config.Knobs.ccCollectCap, Int.MaxValue - 1L)
-    val idType = pairsIn.schema.head.dataType
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
-      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
-    if (cap > 0) {
+    if (!bounded && cap > 0) {
       val probe = pairs.limit(cap.toInt + 1).collect()
-      if (probe.length <= cap) {
-        val parent = scala.collection.mutable.HashMap[Any, Any]()
-        def find(x0: Any): Any = {
-          var x = x0
-          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-          x
-        }
-        @inline def lt(a: Any, b: Any): Boolean =
-          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-        probe.foreach { r =>
-          val (a, b) = (r.get(0), r.get(1))
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
-        }
-        val rows = parent.keys.toSeq.map(k =>
-          org.apache.spark.sql.Row(k, find(k)))
-        import scala.jdk.CollectionConverters._
-        return spark.createDataFrame(rows.asJava, outSchema)
-      }
+      if (probe.length <= cap) return unionFind(probe)
     }
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -718,13 +746,16 @@ ORDER BY l.doc_id"""
     * same value). */
   private def inlineAgreement(left: DataFrame, right: DataFrame,
                               opLabel: String): DataFrame = {
+    // ONE scan of the signature frame (posexplode over the in-row band-key
+    // array) — the union-of-projections shape scanned it Bands times, which
+    // on the corpus side of the per-micro-batch probe meant 4 corpus
+    // signature scans per batch
     def bandsFull(sig: DataFrame, p: String): DataFrame =
-      (0 until Bands).map { b =>
-        sig.select(Seq(col("doc_id").as(s"${p}_id"),
-          lit(b).as(s"${p}_band"),
-          concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*).as(s"${p}_bk")) ++
-          (0 until MinhashK).map(k => col(s"h$k").as(s"${p}_h$k")): _*)
-      }.reduce(_ unionAll _)
+      sig.select((col("doc_id").as(s"${p}_id") +:
+        (0 until MinhashK).map(k => col(s"h$k").as(s"${p}_h$k"))) :+
+        posexplode(array((0 until Bands).map(b =>
+          concat((0 until 3).map(j => col(s"h${b * 3 + j}")): _*)): _*))
+          .as(Seq(s"${p}_band", s"${p}_bk")): _*)
     // the right side is batch-bounded by contract — hint it EXPLICITLY:
     // its plan (pruned lake scan + semi join) carries a file-size-based
     // estimate that can exceed the auto-broadcast threshold at corpus
@@ -807,8 +838,8 @@ ORDER BY l.doc_id"""
         .select(col("ra").as("a"), col("rb").as("b"))
         .filter(col("a") =!= col("b")).distinct()
       // fixpoint over the ROOT graph only; rounds = diameter of the merge
-      // graph, vertices = touched roots
-      val rootMap = propagateLabels(spark, rootEdges)
+      // graph, vertices = touched roots (batch-bounded: direct probe)
+      val rootMap = propagateLabels(spark, rootEdges, bounded = true)
         .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
       val relabeled = labels.as("l")
         .join(broadcast(rootMap), col("l.cluster_id") === col("root"), "left_outer")
@@ -869,7 +900,7 @@ ORDER BY l.doc_id"""
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sub = propagateLabels(spark, signatureAgreementPairs(
-        memberSigs, memberSigs, "dedup_clusters_delete"))
+        memberSigs, memberSigs, "dedup_clusters_delete"), bounded = true)
       labels.join(broadcast(touched), Seq("cluster_id"), "left_anti")
         .select(col("doc_id"), col("cluster_id"))
         .unionAll(sub.select(col("doc_id"), col("cluster_id")))
