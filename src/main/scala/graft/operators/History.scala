@@ -244,6 +244,7 @@ object History {
       val withBucket = merged.withColumn("__bucket",
         pmod(xxhash64(snap0.bucketCols.map(col): _*), lit(snap0.numBuckets)))
 
+      Replay.explain(s"history-merge-batch$batchId", merged)
       val newFiles = lake.writeDataFiles(withBucket, snap0.currentSchemaId)
       val removed = snap0.files.filter(f => touched.contains(f.bucket)).map(_.path).toSet
       // the write job ran -> the observation is available (an all-empty

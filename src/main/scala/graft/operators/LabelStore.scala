@@ -228,8 +228,10 @@ object LabelStore {
       // landed for the same lineage-cut reason as delDelta: the band-probe
       // tree (corpus signature scan + broadcast join) would otherwise be
       // re-planned by every downstream action that references the pairs
-      val newPairs = TextPipeline.landTmp(TextPipeline.agreementPairsAgainst(
-        sigsNow, touchedSigs, "labels_ingest"), "graft-newpairs")
+      val newPairsFrame = TextPipeline.agreementPairsAgainst(
+        sigsNow, touchedSigs, "labels_ingest")
+      Replay.explain(s"labels-band-probe-batch$batchId", newPairsFrame)
+      val newPairs = TextPipeline.landTmp(newPairsFrame, "graft-newpairs")
       val ends = newPairs.select(col("a").as("doc_id"))
         .unionAll(newPairs.select(col("b").as("doc_id"))).distinct()
       // each endpoint's POST-DELETE root: its delete-kernel outcome when

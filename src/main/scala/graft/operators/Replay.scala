@@ -53,6 +53,17 @@ object Replay {
       spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 
+  /** GRAFT_EXPLAIN=1: print `.explain("formatted")` of the named internal
+    * frame to stdout between BEGIN/END markers (plan-evidence capture for
+    * the merge/fold shapes, which never appear in a returned DataFrame). */
+  private[graft] val explainPlans = sys.env.get("GRAFT_EXPLAIN").contains("1")
+  private[graft] def explain(name: String, df: DataFrame): Unit =
+    if (explainPlans) {
+      println(s"==== PLAN BEGIN $name ====")
+      df.explain("formatted")
+      println(s"==== PLAN END $name ====")
+    }
+
   /** Phase timing to stderr when GRAFT_TIMING=1 (perf diagnosis). The
     * label also becomes the Spark job description (thread-local, guide-
     * style job labeling) so job-level listeners/UI attribute time. */
@@ -550,6 +561,7 @@ object Replay {
 
     val merged = joined.filter(exists)
       .select(schema.fields.map(valOf).toIndexedSeq: _*)
+    explain(s"replay-merge-batch$batchId", merged)
     val withBucket = merged.withColumn("__bucket",
       pmod(xxhash64(snap.bucketCols.map(col): _*), lit(snap.numBuckets)))
 
@@ -747,6 +759,7 @@ object Replay {
 
       val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n, _) =>
         (batchId, sid, "op", op, n) }
+      explain(s"replay-fold-batch$batchId", xfs)
       mergeApply(lake, xfs, batchId, lin, hwm, metricProps, epochKey, opRows)
       true
     }

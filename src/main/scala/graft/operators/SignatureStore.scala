@@ -117,6 +117,12 @@ object SignatureStore {
                  epochKey: String = "commit-epoch"): Boolean = {
     val spark = events.sparkSession
     Replay.tuneSession(spark)
+    val timing = sys.env.get("GRAFT_TIMING").contains("1")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (timing) {
+      println(f"[sigstore] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val committed = sig.snapshot().properties.getOrElse(epochKey, "-1").toLong
     if (batchId <= committed) return false
 
@@ -160,6 +166,7 @@ object SignatureStore {
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
         max(col("doc_id").isNull.cast("int")).as("nl"),
         count(lit(1)).as("n")).head()
+      lap("fold-stats")
       if (statRow.getLong(4) == 0L) { // empty fold: advance the epoch only
         sig.commit(Nil, Set.empty,
           properties = Map(epochKey -> batchId.toString))
@@ -212,7 +219,9 @@ object SignatureStore {
           .select(col("doc_id"), col("__text").as("text")))
         val out = keep.unionByName(signed)
           .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
+        Replay.explain(s"sigstore-merge-batch$batchId", out)
         val newFiles = sig.writeDataFiles(out, snap.currentSchemaId)
+        lap("sign+write")
         // remove EXACTLY what the target read scanned: a zone-pruned file
         // was neither read nor rewritten, so it must stay live
         val removed = sig.selectFiles(buckets = Some(touched), zones = zones,

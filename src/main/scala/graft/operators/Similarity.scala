@@ -30,7 +30,7 @@ object Similarity {
   val Q = 1000 // quantization scale
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    TextPipeline.spreadTinyScan(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Integer-quantized vector: round(double(x) * 1000) per element. */
   private val qvec: Column =

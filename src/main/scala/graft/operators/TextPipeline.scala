@@ -23,6 +23,27 @@ object TextPipeline {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Parallelism floor for scans feeding work-multiplying operators.
+    *
+    * Every text operator multiplies its input hundreds-fold (word/shingle
+    * explode, per-token md5) — guide §2.5's "one unsplittable input"
+    * shape: a corpus that fits ONE parquet row group scans as ONE task, so
+    * the whole derivation chain runs on a single core no matter how wide
+    * the session is. When the relation's own size statistics say the scan
+    * cannot fill the session (fewer expected splits than cores), spread it
+    * round-robin first; at real scale the condition is false and this is
+    * a zero-cost no-op — the adaptive version of a fixed repartition(n),
+    * which would be tuned to one host. */
+  private val spreadEnabled = !sys.env.get("GRAFT_SPREAD").contains("0")
+  private[operators] def spreadTinyScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (spreadEnabled && bytes < BigInt(maxSplit) * par) df.repartition(par)
+    else df
+  }
+
   /** Words (space-split, empties dropped) and word-3-gram shingles. */
   private val words: Column = filter(split(col("text"), " "), w => w =!= "")
 
@@ -267,9 +288,14 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
   val IncMinMatch = 9
 
   /** MinHash signature table for a document set: one row per doc,
-    * h0..h{K-1} md5-min signatures — the persisted ingest artifact. */
+    * h0..h{K-1} md5-min signatures — the persisted ingest artifact.
+    * Aggregates the RAW shingle stream, not the distinct set: min over a
+    * multiset equals min over its support, so the distinct's full shuffle
+    * of the shingle stream was pure cost — without it the map-side
+    * partial aggregation reduces each partition to one row per doc BEFORE
+    * the exchange (O(docs) rows shuffled instead of O(shingles)). */
   def minhashSignatures(d: DataFrame): DataFrame = {
-    val sh = shingleSet(d)
+    val sh = d.select(col("doc_id"), explode(bound(words)(shingles)).as("s"))
     val sigCols = (0 until MinhashK).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -390,7 +416,11 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * [[minhashSignatures]] these two cover both near-dup families without
     * corpus text). Shares dedupSimhash's exact fingerprint definition. */
   def simhashSignatures(d: DataFrame): DataFrame = {
-    val w = d.select(col("doc_id"), explode(words).as("wd"))
+    // spread the input first: the word explode + per-word md5 + 32
+    // conditional sums multiply the input ~10^2-fold, and a corpus that
+    // fits one parquet split would otherwise run the whole derivation on
+    // one core (measured as the dominant 1.8 s single-task stage)
+    val w = spreadTinyScan(d).select(col("doc_id"), explode(words).as("wd"))
       .withColumn("m", md5(col("wd")))
     val sumCols = (0 until SimhashBits).map(j =>
       sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1))
@@ -1535,11 +1565,13 @@ FROM a ORDER BY doc_id"""
   // ---------------------------------------------------------------------
   // X19: boilerplate detection — grams shared across many DOCUMENTS
   // (headers, footers, licence blocks) are boilerplate; per doc, the
-  // share of its distinct grams that are corpus-frequent. Two passes over
-  // the gram stream: one aggregates document frequency (the inherent
-  // cost, like the n-gram dedup's df computation), producing a SMALL
-  // frequent-gram set that broadcasts back onto the second pass — no
-  // corpus-side shuffle except the final per-doc aggregate.
+  // share of its distinct grams that are corpus-frequent. The per-doc
+  // DISTINCT gram stream (itself one map-side-combined shuffle) is
+  // materialized ONCE and consumed by both aggregations: the document-
+  // frequency pass (the inherent cost, like the n-gram dedup's df
+  // computation), whose SMALL frequent-gram set broadcasts back, and the
+  // final per-doc aggregate — so the corpus pays one derivation + two
+  // aggregations, not two full explode+distinct derivations.
   // ---------------------------------------------------------------------
 
   /** Document-frequency threshold: a gram in >= this many distinct docs
@@ -1549,9 +1581,10 @@ FROM a ORDER BY doc_id"""
     sys.env.get("GRAFT_BOILER_DF").map(_.toLong).getOrElse(3L)
 
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    def grams = docs(spark, dir)
+    val grams = docs(spark, dir)
       .select(col("doc_id"), explode(bound(words)(shingles)).as("g"))
       .distinct() // per-doc distinct: df counts DOCUMENTS, not occurrences
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerDf)
       .select(col("g"), lit(1L).as("hot"))

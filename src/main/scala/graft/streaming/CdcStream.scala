@@ -134,7 +134,18 @@ object CdcStream {
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
+      .foreachBatch { (df0: DataFrame, batchId: Long) =>
+        // Multi-consumer batches re-scan the source once per action: the
+        // doc merge alone takes 3 passes, and signature/label companions
+        // add several more — persist the micro-batch ONCE when companions
+        // are attached (single-route batches keep the plain scan: a
+        // vectorized re-scan is cheaper than the columnar cache build, the
+        // round-2 A/B on the scaling bench).
+        val multi = routes.exists(_.signatures.isDefined)
+        val df = if (multi)
+          df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df0
+        try {
         routes.foreach { r =>
           // (lsn, seq) floor as a Column predicate tree — Or(Gt(lsn),
           // And(Eq(lsn), Gt(seq))) pushes down to the parquet scan, so a
@@ -175,6 +186,7 @@ object CdcStream {
               }
             }
         }
+        } finally if (multi) df.unpersist(blocking = false)
       }
       .start()
   }
