@@ -94,6 +94,61 @@ class PipelineSpec extends AnyFunSuite {
       "union-find fast path must match the distributed result")
   }
 
+  test("bounded CC fast path: direct probe equals landed path, over-cap falls back") {
+    import spark.implicits._
+    val pairs = Seq((3L, 7L), (7L, 9L), (20L, 21L)).toDF("a", "b")
+    def res(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L)
+    assert(res(TextPipeline.propagateLabels(spark, pairs, bounded = true)) == want)
+    assert(res(TextPipeline.propagateLabels(spark, pairs, bounded = false)) == want)
+    // over-cap bounded call must fall back (to the landed distributed
+    // fixpoint) and still converge to the same labels
+    val cap0 = graft.config.Knobs.ccCollectCap
+    graft.config.Knobs.ccCollectCap = 2L
+    try assert(res(TextPipeline.propagateLabels(spark, pairs, bounded = true)) == want)
+    finally graft.config.Knobs.ccCollectCap = cap0
+  }
+
+  test("driver union-find orders string ids by UTF-8 bytes (binary), not UTF-16") {
+    import spark.implicits._
+    // U+FFFF sorts BELOW U+10000 in UTF-8 bytes (EF BF BF < F0 90 80 80)
+    // but ABOVE its surrogate pair in UTF-16 code units — the two paths
+    // must elect the same canonical id regardless of the collect cap
+    val hi = "￿"; val supp = new String(Character.toChars(0x10000))
+    val pairs = Seq((supp, hi)).toDF("a", "b")
+    val fast = TextPipeline.propagateLabels(spark, pairs, bounded = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val cap0 = graft.config.Knobs.ccCollectCap
+    graft.config.Knobs.ccCollectCap = 0L
+    val dist =
+      try TextPipeline.propagateLabels(spark, pairs).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      finally graft.config.Knobs.ccCollectCap = cap0
+    assert(fast == dist, s"fast $fast vs distributed $dist")
+    assert(fast.values.toSet == Set(hi), "canonical id must be the UTF-8 minimum")
+  }
+
+  test("minhash signatures are shingle-multiplicity-invariant (distinct removed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // min over the raw shingle stream must equal min over the distinct
+    // set — the distinct exchange was deleted on exactly this argument
+    val docs = Seq((1L, "a b c a b c a b c d e f"), (2L, "x y z w x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.minhashSignatures(docs)
+    val w = filter(split(col("text"), " "), x => x =!= "")
+    val sh = docs.select(col("doc_id"), explode(
+      when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("s")).distinct()
+    val sigCols = (0 until TextPipeline.MinhashK).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
+    val want = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    assert(got.orderBy("doc_id").collect().toSeq ==
+      want.orderBy("doc_id").collect().toSeq)
+  }
+
   test("delta-vs-all agreement: inline-verify strategy equals the two-pass predicate") {
     // the one-pass strategy (minhashes carried through the band join,
     // verified inline) must emit exactly the pairs the symmetric two-pass
