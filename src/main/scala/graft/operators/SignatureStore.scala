@@ -67,10 +67,16 @@ object SignatureStore {
     * caller rebuilding a stand-in table for one query may disable the
     * family it will not read (the disabled columns stay in the schema as
     * NULLs). */
+  /** @param uniqueIds caller PROMISES one row per doc_id (a per-key fold
+    *                   output or a keyed table read): the row-preserving
+    *                   id frame then skips its distinct — one exchange
+    *                   less on the per-micro-batch re-sign path. */
   def signaturesOf(docs: DataFrame, minhash: Boolean = true,
-                   simhash: Boolean = true): DataFrame = {
+                   simhash: Boolean = true,
+                   uniqueIds: Boolean = false): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    val ids = base.select("doc_id").distinct()
+    val ids =
+      if (uniqueIds) base.select("doc_id") else base.select("doc_id").distinct()
     val withMh =
       if (minhash) ids.join(TextPipeline.minhashSignatures(base),
         Seq("doc_id"), "left_outer")
@@ -97,7 +103,7 @@ object SignatureStore {
     val docs = docLake.read().select(
       docIdCol(mergeKey.map(col)).as("doc_id"),
       col(textCol).as("text"))
-    val rows = signaturesOf(docs).withColumn("__bucket",
+    val rows = signaturesOf(docs, uniqueIds = true).withColumn("__bucket",
       pmod(xxhash64(col("doc_id")), lit(ssnap.numBuckets)))
     sig.commit(sig.writeDataFiles(rows, ssnap.currentSchemaId),
       ssnap.files.map(_.path).toSet,
@@ -216,7 +222,7 @@ object SignatureStore {
             col("__old").getField(s"h$k").as(s"h$k")) :+
             col("__old").getField("fp").as("fp")): _*)
         val signed = signaturesOf(rows.filter(col("__resign"))
-          .select(col("doc_id"), col("__text").as("text")))
+          .select(col("doc_id"), col("__text").as("text")), uniqueIds = true)
         val out = keep.unionByName(signed)
           .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
         Replay.explain(s"sigstore-merge-batch$batchId", out)

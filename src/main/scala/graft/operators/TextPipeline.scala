@@ -387,7 +387,7 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
       SignatureStore.spec())
     val rows = SignatureStore.signaturesOf(
       corpus.select(col("doc_id").cast("string").as("doc_id"), col("text")),
-      minhash = minhash, simhash = simhash)
+      minhash = minhash, simhash = simhash, uniqueIds = true)
     val snap = sig.snapshot()
     val withB = rows.withColumn("__bucket",
       pmod(xxhash64(col("doc_id")), lit(snap.numBuckets)))
@@ -764,7 +764,10 @@ ORDER BY l.doc_id"""
     * (PipelineSpec asserts strategy equality). */
   private[graft] def agreementPairsAgainst(all: DataFrame, delta: DataFrame,
                                       opLabel: String): DataFrame =
-    inlineAgreement(all, delta, opLabel)
+    // dedup = false: the per-band duplicates die in THIS distinct — the
+    // inner (a, b) dropDuplicates would be a second full exchange of the
+    // pair stream for nothing (match_cnt is dropped here)
+    inlineAgreement(all, delta, opLabel, dedup = false)
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -775,7 +778,8 @@ ORDER BY l.doc_id"""
     * match_cnt is a function of the pair, so any duplicate carries the
     * same value). */
   private def inlineAgreement(left: DataFrame, right: DataFrame,
-                              opLabel: String): DataFrame = {
+                              opLabel: String,
+                              dedup: Boolean = true): DataFrame = {
     // ONE scan of the signature frame (posexplode over the in-row band-key
     // array) — the union-of-projections shape scanned it Bands times, which
     // on the corpus side of the per-micro-batch probe meant 4 corpus
@@ -799,7 +803,7 @@ ORDER BY l.doc_id"""
         when(col(s"x_h$k") === col(s"y_h$k"), 1L).otherwise(0L)).reduce(_ + _))
       .filter(col("match_cnt") >= IncMinMatch)
       .select(col("x_id").as("a"), col("y_id").as("b"), col("match_cnt"))
-      .dropDuplicates("a", "b")
+      .transform(df => if (dedup) df.dropDuplicates("a", "b") else df)
   }
 
   /** THE D5 signature-agreement predicate — the single definition every

@@ -140,8 +140,10 @@ object CdcStream {
         // add several more — persist the micro-batch ONCE when companions
         // are attached (single-route batches keep the plain scan: a
         // vectorized re-scan is cheaper than the columnar cache build, the
-        // round-2 A/B on the scaling bench).
-        val multi = routes.exists(_.signatures.isDefined)
+        // round-2 A/B on the scaling bench). pgoutput batches persist
+        // unconditionally: their "re-scan" is a full wire DECODE of the
+        // chunk, not a vectorized parquet read.
+        val multi = routes.exists(_.signatures.isDefined) || format == "pgoutput"
         val df = if (multi)
           df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else df0
