@@ -1570,12 +1570,15 @@ FROM a ORDER BY doc_id"""
   // X19: boilerplate detection — grams shared across many DOCUMENTS
   // (headers, footers, licence blocks) are boilerplate; per doc, the
   // share of its distinct grams that are corpus-frequent. The per-doc
-  // DISTINCT gram stream (itself one map-side-combined shuffle) is
-  // materialized ONCE and consumed by both aggregations: the document-
-  // frequency pass (the inherent cost, like the n-gram dedup's df
-  // computation), whose SMALL frequent-gram set broadcasts back, and the
-  // final per-doc aggregate — so the corpus pays one derivation + two
-  // aggregations, not two full explode+distinct derivations.
+  // DISTINCT gram stream feeds BOTH aggregations (document frequency —
+  // the inherent cost, like the n-gram dedup's df computation — whose
+  // SMALL frequent-gram set broadcasts back, and the final per-doc
+  // aggregate), i.e. the corpus pays the gram derivation's map side plus
+  // two map-side-combined shuffles of the gram stream; the two identical
+  // distinct subtrees share one exchange at runtime (ReusedExchange).
+  // A persist of the shared stream was A/B'd and REVERTED: it costs a
+  // corpus-sized columnar cache build (and at 10^2-TB scale, corpus-sized
+  // cache pressure) for recompute the exchange reuse already avoids.
   // ---------------------------------------------------------------------
 
   /** Document-frequency threshold: a gram in >= this many distinct docs
@@ -1588,7 +1591,6 @@ FROM a ORDER BY doc_id"""
     val grams = docs(spark, dir)
       .select(col("doc_id"), explode(bound(words)(shingles)).as("g"))
       .distinct() // per-doc distinct: df counts DOCUMENTS, not occurrences
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerDf)
       .select(col("g"), lit(1L).as("hot"))
