@@ -236,7 +236,14 @@ ORDER BY a, b"""
   val SimhashBands = 4 // 8-bit bands: guaranteed recall at hamming <= 3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = fpBands(simhashSignatures(docs(spark, dir)))
+    // spread the scan first (guide §2.5): the word explode + per-word md5
+    // + 32 conditional sums multiply the input ~10^2-fold, and a corpus
+    // that fits one parquet split would otherwise run the whole
+    // derivation on one core (measured as the dominant 1.8 s single-task
+    // stage). Applied at the SCAN-rooted call sites only — for derived
+    // in-batch frames (the signature store's re-sign path) the extra
+    // exchange measured as a net loss.
+    val banded = fpBands(simhashSignatures(spreadTinyScan(docs(spark, dir))))
     Similarity.observeCandidates("dedup_simhash",
       banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -386,7 +393,8 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     val sig = graft.lake.LakeTable.create(spark, s"$root/signatures",
       SignatureStore.spec())
     val rows = SignatureStore.signaturesOf(
-      corpus.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+      spreadTinyScan(
+        corpus.select(col("doc_id").cast("string").as("doc_id"), col("text"))),
       minhash = minhash, simhash = simhash, uniqueIds = true)
     val snap = sig.snapshot()
     val withB = rows.withColumn("__bucket",
@@ -416,11 +424,7 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * [[minhashSignatures]] these two cover both near-dup families without
     * corpus text). Shares dedupSimhash's exact fingerprint definition. */
   def simhashSignatures(d: DataFrame): DataFrame = {
-    // spread the input first: the word explode + per-word md5 + 32
-    // conditional sums multiply the input ~10^2-fold, and a corpus that
-    // fits one parquet split would otherwise run the whole derivation on
-    // one core (measured as the dominant 1.8 s single-task stage)
-    val w = spreadTinyScan(d).select(col("doc_id"), explode(words).as("wd"))
+    val w = d.select(col("doc_id"), explode(words).as("wd"))
       .withColumn("m", md5(col("wd")))
     val sumCols = (0 until SimhashBits).map(j =>
       sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1))
@@ -441,7 +445,8 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""
     * complete at hamming <= 3), hamming verify on the fps alone. */
   def dedupSimhashAgainstFps(corpusFps: DataFrame, delta: DataFrame): DataFrame =
     Similarity.observeCandidates("dedup_incremental_simhash",
-      fpBands(corpusFps).as("x").join(fpBands(simhashSignatures(delta)).as("y"),
+      fpBands(corpusFps).as("x")
+        .join(fpBands(simhashSignatures(spreadTinyScan(delta))).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk")),
       struct(col("x.band"), col("x.bk")))
       .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("new_id"),
