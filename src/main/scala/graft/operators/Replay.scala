@@ -423,6 +423,14 @@ object Replay {
   // W1-W3: merge apply against the lake table
   // ---------------------------------------------------------------------
 
+  /** Commit-time extras of one merge, produced by the stats pass: per-sid
+    * lineage, the LSN high-watermark, cumulative-metric snapshot
+    * properties, and the per-batch metrics-sidecar rows. */
+  final case class CommitInfo(lineage: Seq[LineageEntry],
+                              lsnHighWatermark: Long,
+                              extraProps: Map[String, String],
+                              metricsRows: Seq[(Long, String, String, String, Long)])
+
   /** Merge per-key transformers into the table: full-outer join on the
     * (null-safe) merge key over touched buckets only, then pure Catalyst
     * column expressions realize insert / TOAST-coalescing update / delete
@@ -433,7 +441,21 @@ object Replay {
                  lsnHighWatermark: Long,
                  extraProps: Map[String, String] = Map.empty,
                  epochKey: String = "commit-epoch",
-                 metricsRows: Seq[(Long, String, String, String, Long)] = Nil): Map[String, Long] = {
+                 metricsRows: Seq[(Long, String, String, String, Long)] = Nil): Map[String, Long] =
+    mergeApplyDeferred(lake, keyXfs, batchId, epochKey,
+      () => Some(CommitInfo(lineage, lsnHighWatermark, extraProps, metricsRows))).get
+
+  /** [[mergeApply]] with the commit-time extras DEFERRED: `commitInfo` is
+    * invoked after the fold + touched-bucket pass has executed and BEFORE
+    * anything is written; returning None aborts the merge with no side
+    * effects (nothing written or committed, the fold cache released).
+    * This is what lets [[applyBatch]] overlap its stats job with the fold
+    * job (guide §2.6): the stats result is only needed at commit time —
+    * unless it reveals an R message or an empty batch, in which case the
+    * abort path discards the optimistically-computed fold. */
+  def mergeApplyDeferred(lake: LakeTable, keyXfs: DataFrame, batchId: Long,
+                         epochKey: String,
+                         commitInfo: () => Option[CommitInfo]): Option[Map[String, Long]] = {
     val spark = lake.spark
     val snap = lake.snapshot()
     val schema = snap.schema
@@ -473,6 +495,12 @@ object Replay {
        else xdf.groupBy(xBucket.cast("int").as("b"))
          .agg(bucketAggs.head, bucketAggs.tail: _*))
         .collect())
+    // the stats-pass outcome gates the merge here — after the fold ran,
+    // before anything is written; None = abort (R message / empty batch)
+    val ci = commitInfo() match {
+      case Some(c) => c
+      case None => return None // finally releases the fold cache
+    }
     val touched: Set[Int] = statRows.map(_.getInt(0)).toSet
     val zones: Seq[graft.lake.Zone] =
       if (statRows.isEmpty || bucketAggs.isEmpty) Nil
@@ -576,7 +604,7 @@ object Replay {
     // per-batch metrics sidecar, BEFORE the commit: a crash between the
     // two replays the batch and overwrites the same file (idempotent)
     lake.writeMetrics(s"$epochKey-$batchId",
-      metricsRows ++ m.toSeq.sortBy(_._1).map { case (k, v) =>
+      ci.metricsRows ++ m.toSeq.sortBy(_._1).map { case (k, v) =>
         (batchId, null: String, "merge", k, v) })
     // cumulative drift counter rides the same atomic commit (the
     // reference's delete-affected-0-rows alarm, process_clone.go:306-311)
@@ -584,13 +612,13 @@ object Replay {
       (snap.properties.getOrElse("metrics-delete-miss", "0").toLong +
         m.getOrElse("delete_miss", 0L)).toString)
     lake.commit(newFiles, removed,
-      properties = extraProps ++ drift ++ Map(
+      properties = ci.extraProps ++ drift ++ Map(
         epochKey -> batchId.toString,
         "lsn-high-watermark" ->
-          math.max(lsnHighWatermark,
+          math.max(ci.lsnHighWatermark,
             snap.properties.getOrElse("lsn-high-watermark", "-1").toLong).toString),
-      lineage = lineage)
-    m
+      lineage = ci.lineage)
+    Some(m)
     }
     } finally xdf.unpersist()
   }
@@ -692,13 +720,80 @@ object Replay {
       // yields lineage, metrics, the salt ord-range, emptiness, and
       // R-message detection — instead of five separate jobs, which at
       // micro-batch cadence would dominate wall time.
-      val stats = timed("stats")(cached.toDF().select("sid", "op", "lsn", "seq")
-        .groupBy("sid", "op")
-        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"),
-          max(eventOrdCol).as("mo"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5))))
+      def collectStats(): Array[(String, String, Long, Long, Long, Long)] =
+        timed("stats")(cached.toDF().select("sid", "op", "lsn", "seq")
+          .groupBy("sid", "op")
+          .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"),
+            max(eventOrdCol).as("mo"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))))
+
+      /** Commit-time extras from the stats rows. None when the batch folds
+        * to nothing, or (unless `rHandled`) carries an R message — both
+        * need the sequential handling below BEFORE any write. */
+      def commitInfoOf(stats: Array[(String, String, Long, Long, Long, Long)],
+                       rHandled: Boolean = false): Option[CommitInfo] = {
+        val dml = stats.filter(s => s._2 != "R" && s._2 != "T")
+        if ((!rHandled && stats.exists(_._2 == "R")) || dml.isEmpty) return None
+        val lin = dml.groupBy(_._1).map { case (sid, ss) =>
+          LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)
+        }.toSeq
+        // metrics (A3, the Prometheus-counter analog `streamer/metrics.go:
+        // 11-53`): cumulative received-op counters by op code, carried as
+        // snapshot properties so they commit atomically with the data
+        val prev = lake.snapshot().properties
+        val metricProps = dml.groupBy(_._2).map { case (op, ss) =>
+          val k = s"metrics-ops-$op"
+          k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
+        } ++ {
+          // event-granular applied watermark (see eventOrdCol), keyed per
+          // EPOCH KEY — i.e. per (stream, mapping), like the epoch itself:
+          // two mappings sharing one target advance independent watermarks,
+          // so one route's commit can never floor the other route's
+          // unapplied events out of a healing catch-up replay
+          val k = s"applied-ord-$epochKey"
+          Map(k -> math.max(dml.map(_._6).max,
+            prev.getOrElse(k, "-1").toLong).toString)
+        }
+        val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n, _) =>
+          (batchId, sid, "op", op, n) }
+        Some(CommitInfo(lin, lin.map(_.maxLsn).max, metricProps, opRows))
+      }
+
+      def foldCatalyst(): DataFrame = {
+        val snap = lake.snapshot()
+        val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
+        val payloadCols = snap.schema.fieldNames.filterNot(mergeKey.contains).toSeq
+        foldToXfDF(normalizeDF(cached.toDF(), mergeKey, appendMode), payloadCols)
+      }
+
+      // Fast path (salts == 0, the default Catalyst fold): OVERLAP the
+      // stats job with the fold job (guide §2.6 — independent jobs need
+      // not serialize). The fold plan is built optimistically against the
+      // CURRENT schema and its touched-bucket pass runs while the stats
+      // job computes; the stats result is only consumed at commit time —
+      // unless it reveals an R message or an empty batch (both rare), in
+      // which case the merge ABORTS before writing anything and the
+      // sequential path below redoes it against the evolved schema.
+      // GRAFT_OVERLAP=0 restores the fully sequential order (A/Bs).
+      var stats: Array[(String, String, Long, Long, Long, Long)] = null
+      if (salts <= 0 && !sys.env.get("GRAFT_OVERLAP").contains("0")) {
+        val statsFut =
+          java.util.concurrent.CompletableFuture.supplyAsync(() => collectStats())
+        val merged =
+          try {
+            val xfs = foldCatalyst()
+            explain(s"replay-fold-batch$batchId", xfs)
+            mergeApplyDeferred(lake, xfs, batchId, epochKey,
+              () => commitInfoOf(statsFut.join()))
+          } catch { case e: Throwable =>
+            statsFut.cancel(false); throw e
+          }
+        if (merged.isDefined) return true
+        stats = statsFut.join() // aborted: R message or empty batch
+      } else stats = collectStats()
+
       val dml = stats.filter(s => s._2 != "R" && s._2 != "T")
 
       // schema evolution from R messages, before the merge (north rule)
@@ -706,8 +801,6 @@ object Replay {
         val rels = cached.filter(col("op") === "R").collect().map(_.after).toSeq
         evolveSchema(lake, rels)
       }
-      val snap = lake.snapshot()
-      val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
 
       if (dml.isEmpty) {
         // still advance the epoch so restart skip-logic stays monotone
@@ -717,14 +810,15 @@ object Replay {
       }
 
       // fold strategy: salts == 0 (default) -> the Catalyst-native fold
-      // (codegen, map-side combine); salts >= 1 -> the typed Xf fold with
+      // (codegen, map-side combine; here = the post-evolution redo of an
+      // aborted overlap merge); salts >= 1 -> the typed Xf fold with
       // explicit ord-range salting (the algebraic reference path; both are
       // cross-validated by tests and the oracle harness)
       val xfs: DataFrame =
-        if (salts <= 0) {
-          val payloadCols = snap.schema.fieldNames.filterNot(mergeKey.contains).toSeq
-          foldToXfDF(normalizeDF(cached.toDF(), mergeKey, appendMode), payloadCols)
-        } else {
+        if (salts <= 0) foldCatalyst()
+        else {
+          val snap = lake.snapshot()
+          val mergeKey = (if (snap.hasSid) Seq("sid") else Nil) ++ snap.keyCols
           val ops = cached.flatMap(e => normalize(e, mergeKey, appendMode))
           // salt range derived from the already-known lsn span: ord is
           // monotone in (lsn, seq, sub), so lsn bounds bound ord
@@ -733,34 +827,11 @@ object Replay {
           foldToXf(ops, salts, Some((loOrd, hiOrd))).toDF()
         }
 
-      // lineage: per source partition (sid), the applied LSN range (A1)
-      val lin = dml.groupBy(_._1).map { case (sid, ss) =>
-        LineageEntry(sid, ss.map(_._3).min, ss.map(_._4).max, batchId, -1L)
-      }.toSeq
-      val hwm = lin.map(_.maxLsn).max
-
-      // metrics (A3, the Prometheus-counter analog `streamer/metrics.go:
-      // 11-53`): cumulative received-op counters by op code, carried as
-      // snapshot properties so they commit atomically with the data
-      val prev = snap.properties
-      val metricProps = dml.groupBy(_._2).map { case (op, ss) =>
-        val k = s"metrics-ops-$op"
-        k -> (prev.getOrElse(k, "0").toLong + ss.map(_._5).sum).toString
-      } ++ {
-        // event-granular applied watermark (see eventOrdCol), keyed per
-        // EPOCH KEY — i.e. per (stream, mapping), like the epoch itself:
-        // two mappings sharing one target advance independent watermarks,
-        // so one route's commit can never floor the other route's
-        // unapplied events out of a healing catch-up replay
-        val k = s"applied-ord-$epochKey"
-        Map(k -> math.max(dml.map(_._6).max,
-          prev.getOrElse(k, "-1").toLong).toString)
-      }
-
-      val opRows = dml.toSeq.sortBy(r => (r._1, r._2)).map { case (sid, op, _, _, n, _) =>
-        (batchId, sid, "op", op, n) }
+      val ci = commitInfoOf(stats, rHandled = true).getOrElse(
+        throw new IllegalStateException("unreachable: dml checked non-empty"))
       explain(s"replay-fold-batch$batchId", xfs)
-      mergeApply(lake, xfs, batchId, lin, hwm, metricProps, epochKey, opRows)
+      mergeApply(lake, xfs, batchId, ci.lineage, ci.lsnHighWatermark,
+        ci.extraProps, epochKey, ci.metricsRows)
       true
     }
   }
