@@ -141,14 +141,34 @@ object History {
       // yields R-detection, emptiness, per-sid lineage and the per-batch op
       // counters — the same single-aggregation shape as Replay.applyBatch
       // (three separate passes cost three scans at micro-batch cadence)
-      val stats = routed.toDF().select("sid", "op", "lsn", "seq")
-        .groupBy("sid", "op")
-        .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"),
-          max(Replay.eventOrdCol).as("mo"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5)))
-      val dml = stats.filter(s => s._2 == "I" || s._2 == "U" || s._2 == "D")
+      def collectStats(): Array[(String, String, Long, Long, Long, Long)] =
+        routed.toDF().select("sid", "op", "lsn", "seq")
+          .groupBy("sid", "op")
+          .agg(min("lsn").as("lo"), max("lsn").as("hi"), count(lit(1)).as("n"),
+            max(Replay.eventOrdCol).as("mo"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+
+      // OVERLAP the stats job with the window fold (guide §2.6 — the same
+      // independent-job overlap as Replay.applyBatch): the fold plan is
+      // built optimistically against the CURRENT schema and its persist +
+      // touched-bucket pass runs while the stats job computes; the stats
+      // result is consumed BEFORE anything is written — an R message or a
+      // DML-empty batch (both rare) ABORTS the optimistic merge with zero
+      // side effects and the sequential path below redoes it against the
+      // evolved schema. GRAFT_OVERLAP=0 restores the sequential order.
+      var stats: Array[(String, String, Long, Long, Long, Long)] = null
+      if (!sys.env.get("GRAFT_OVERLAP").contains("0")) {
+        val statsFut =
+          java.util.concurrent.CompletableFuture.supplyAsync(() => collectStats())
+        val merged =
+          try tryMerge(lake, routed, batchId, epochKey,
+            () => statsFut.join(), rHandled = false)
+          catch { case e: Throwable => statsFut.cancel(false); throw e }
+        if (merged) return true
+        stats = statsFut.join() // aborted: R message or DML-empty batch
+      } else stats = collectStats()
 
       // R-message schema evolution, before the apply (north rule) — same
       // evolve-then-merge contract as clone mode; the R rows themselves are
@@ -158,14 +178,29 @@ object History {
         Replay.evolveSchema(lake, rels)
       }
 
-      val snap0 = lake.snapshot()
-      val schema = snap0.schema
-      val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
-
-      if (dml.isEmpty) {
+      if (!stats.exists(s => s._2 == "I" || s._2 == "U" || s._2 == "D")) {
         lake.commit(Nil, Set.empty, properties = Map(epochKey -> batchId.toString))
         return true
       }
+
+      tryMerge(lake, routed, batchId, epochKey, () => stats, rHandled = true)
+    }
+  }
+
+  /** The fold + merge + write + commit body. Consumes `getStats` only
+    * AFTER the fold's touched-bucket pass ran (so a deferred stats job
+    * overlaps it) and BEFORE anything is written. Returns false — having
+    * written nothing — when the stats reveal an R message (`rHandled` =
+    * false) or a DML-empty batch; the caller then handles both
+    * sequentially and retries with `rHandled = true`. */
+  private def tryMerge(lake: LakeTable, routed: Dataset[ChangeEvent],
+                       batchId: Long, epochKey: String,
+                       getStats: () => Array[(String, String, Long, Long, Long, Long)],
+                       rHandled: Boolean): Boolean = {
+    locally {
+      val snap0 = lake.snapshot()
+      val schema = snap0.schema
+      val mergeKey = (if (snap0.hasSid) Seq("sid") else Nil) ++ snap0.keyCols
 
       val (versions, closes0, foldedOps) = foldDF(routed.toDF(), mergeKey)
       try {
@@ -198,6 +233,13 @@ object History {
         lit(snap0.numBuckets))
       val touched = allKeysB.select(bucketOf.cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
+
+      // the overlapped stats job has had the fold's wall time to finish;
+      // consume it before anything is written
+      val stats = getStats()
+      if (!rHandled && stats.exists(_._2 == "R")) return false
+      val dml = stats.filter(s => s._2 == "I" || s._2 == "U" || s._2 == "D")
+      if (dml.isEmpty) return false
 
       val target = lake.read(buckets = Some(touched)).alias("t")
       val joinCond = mergeKey.map(c => col(s"t.$c") <=> col(s"x.__k_$c")).reduce(_ && _)

@@ -177,6 +177,38 @@ class HistorySpec extends AnyFunSuite {
       .startsWith("9999-01-01")) // still open
   }
 
+  test("history DML-empty batch aborts the optimistic merge: epoch-only commit") {
+    import spark.implicits._
+    val spec = Transcripts.spec(numBuckets = 2)
+      .copy(schema = History.historySchema(Transcripts.schema))
+    val lake = LakeTable.create(spark, SparkTestBase.tmpDir("histempty"), spec)
+    def full(turn: Int, text: String) =
+      Map("conv_id" -> "c1", "turn_idx" -> turn.toString, "role" -> "user",
+        "text" -> text, "tool" -> null, "ts" -> "2024-01-01 00:00:00")
+    History.applyBatch(lake, spark.createDataset(Seq(
+      ChangeEvent(1, 0, "I", "transcripts", "s0", "none", Map.empty, full(0, "v1")))),
+      mapping, 0)
+    val filesAfter0 = lake.snapshot().files.map(_.path).toSet
+    // batch 1 routes but folds to nothing (R only): the overlapped merge
+    // must abort with ZERO side effects and the sequential path commits
+    // the epoch alone — same files, advanced epoch
+    assert(History.applyBatch(lake, spark.createDataset(Seq(
+      ChangeEvent(2, 0, "R", "transcripts", "s0", "none", Map.empty, Map(
+        "conv_id" -> "string", "turn_idx" -> "int", "role" -> "string",
+        "text" -> "string", "tool" -> "string", "ts" -> "timestamp",
+        "tokens" -> "int")))),
+      mapping, 1))
+    val snap = lake.snapshot()
+    assert(snap.properties("commit-epoch") == "1")
+    assert(snap.files.map(_.path).toSet == filesAfter0,
+      "a DML-empty batch must not rewrite any data file")
+    assert(lake.schema.fieldNames.contains("tokens"), "the R still evolves")
+    // idempotence: replaying the covered batch is a no-op
+    assert(!History.applyBatch(lake, spark.createDataset(Seq(
+      ChangeEvent(1, 0, "I", "transcripts", "s0", "none", Map.empty, full(0, "dup")))),
+      mapping, 1))
+  }
+
   test("history timestamps roll seq >= 1000 milliseconds into seconds") {
     import spark.implicits._
     val spec = Transcripts.spec(numBuckets = 2)
