@@ -181,6 +181,37 @@ object EventsCdc {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** Run independent fixture-write jobs concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially).
+    * Each WAL/segment render below writes its own directory, so the jobs
+    * share nothing; the consumer globs the segments only after every
+    * write returned. Job descriptions/configs are thread-local in Spark,
+    * so concurrent actions from a small pool are the supported pattern. */
+  private def inParallel(work: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, work.size)))
+    try work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = w()
+    })).foreach(_.get())
+    finally pool.shutdown()
+  }
+
+  /** Re-stamp segment files' modification times MONOTONICALLY in segment
+    * order after the parallel writes return. FileStreamSource orders
+    * files by mtime, so arbitrary write-completion order would otherwise
+    * reorder micro-batches — and batch order is semantics, not detail:
+    * the state fold's tombstone TTL and the watermark progression are
+    * batch-order-sensitive by design, and an out-of-order clone batch
+    * would let a low-ord update overwrite a higher-ord row. Stamping
+    * reproduces exactly the ordering the sequential writes produced. */
+  private def stampSegOrder(segDirs: Seq[java.io.File]): Unit = {
+    val base = System.currentTimeMillis()
+    segDirs.zipWithIndex.foreach { case (d, i) =>
+      Option(d.listFiles()).toSeq.flatten
+        .foreach(_.setLastModified(base + i.toLong * 2000L))
+    }
+  }
+
   private def finalState(lake: LakeTable, cols: Seq[String]): DataFrame =
     lake.read().select(cols.map(col): _*).orderBy(cols.map(col): _*)
 
@@ -393,15 +424,15 @@ object EventsCdc {
     val ev = derive(spark, dir, sidMod = 2)
     val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / 2 + 1
-    Seq("s0", "s1").foreach { s =>
+    inParallel(for (s <- Seq("s0", "s1"); b <- 0 until 2) yield { () =>
       val mine = ev.filter(col("sid") === s).toDF()
         .withColumn("sid", lit("wire-sid-ignored"))
-      (0 until 2).foreach { b =>
-        val lo = b * per; val hi = lo + per
-        mine.filter(col("lsn") >= lo && col("lsn") < hi)
-          .coalesce(1).write.parquet(f"$tmp/wal-$s/seg-$b%05d")
-      }
-    }
+      val lo = b * per; val hi = lo + per
+      mine.filter(col("lsn") >= lo && col("lsn") < hi)
+        .coalesce(1).write.parquet(f"$tmp/wal-$s/seg-$b%05d")
+    })
+    stampSegOrder(for (s <- Seq("s0", "s1"); b <- 0 until 2)
+      yield new java.io.File(f"$tmp/wal-$s/seg-$b%05d"))
     val mapJson =
       s"""{"databases":[{"name":"app",
          |  "urls":[{"url":"$tmp/wal-s0/seg-*","sid":"s0"},
@@ -445,11 +476,12 @@ object EventsCdc {
         .otherwise(col("after")))
     val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / 2 + 1
-    (0 until 2).foreach { b =>
+    inParallel((0 until 2).map { b => () =>
       val lo = b * per; val hi = lo + per
       ev.filter(col("lsn") >= lo && col("lsn") < hi)
         .coalesce(1).write.parquet(f"$tmp/wal/seg-$b%05d")
-    }
+    })
+    stampSegOrder((0 until 2).map(b => new java.io.File(f"$tmp/wal/seg-$b%05d")))
     val mapJson =
       s"""{"databases":[{"name":"app",
          |  "urls":[{"url":"$tmp/wal/seg-*","sid":"s0"}],
@@ -600,11 +632,12 @@ ORDER BY user_id"""
     val ev = derive(spark, dir)
     val maxLsn = maxEventId(spark, dir)
     val per = maxLsn / Batches + 1
-    (0 until Batches).foreach { b =>
+    inParallel((0 until Batches).map { b => () =>
       val lo = b * per; val hi = lo + per
       ev.filter(col("lsn") >= lo && col("lsn") < hi).toDF()
         .coalesce(1).write.parquet(f"$tmp/wal/seg-$b%05d")
-    }
+    })
+    stampSegOrder((0 until Batches).map(b => new java.io.File(f"$tmp/wal/seg-$b%05d")))
     val src = spark.readStream.schema(ChangeEvent.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmp/wal/seg-*").as[ChangeEvent]
@@ -651,10 +684,11 @@ ORDER BY user_id"""
     // whole time range, so batches after the first genuinely contain
     // late-beyond-watermark rows — the drop rule is exercised, not
     // vacuously green (contiguous slices would keep ts monotone)
-    (0 until Batches).foreach { b =>
+    inParallel((0 until Batches).map { b => () =>
       raw.filter(pmod(col("event_id"), lit(Batches)) === b)
         .coalesce(1).write.parquet(f"$tmp/seg-$b%05d")
-    }
+    })
+    stampSegOrder((0 until Batches).map(b => new java.io.File(f"$tmp/seg-$b%05d")))
     val src = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/seg-*")
     // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
