@@ -306,7 +306,11 @@ object EventsCdc {
     val tmp = Files.createTempDirectory("graft-pgo").toString
     val maxLsn = events.map(_.lsn).max
     val per = maxLsn / Batches + 1
-    (0 until Batches).foreach { b =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/wal"))
+    // chunk renders are independent pure-CPU work — run them from the
+    // same pool as the parquet fixture writes (the binaryFile stream
+    // orders by mtime like FileStreamSource, so stamp chunk order after)
+    inParallel((0 until Batches).map { b => () =>
       val lo = b * per; val hi = lo + per
       val batch = events.filter(e => e.lsn >= lo && e.lsn < hi)
       val msgs: Seq[Array[Byte]] =
@@ -340,10 +344,15 @@ object EventsCdc {
             Wire.streamAbort(decoyXid, decoyXid))
           blocks ++ decoy ++ aborts ++ commits
         }
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/wal"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"$tmp/wal/chunk-$b%03d.bin"),
         Wire.chunk(rel +: msgs))
+      ()
+    })
+    locally {
+      val base = System.currentTimeMillis()
+      (0 until Batches).foreach(b => new java.io.File(
+        f"$tmp/wal/chunk-$b%03d.bin").setLastModified(base + b.toLong * 2000L))
     }
     val lake = LakeTable.create(spark, s"$tmp/t", spec())
     val q = graft.streaming.CdcStream.start(spark, s"$tmp/wal/chunk-*.bin",
